@@ -1,0 +1,231 @@
+"""Vectorized MSB-first bit packing/unpacking over u64 words.
+
+Re-expresses the semantics of the reference bitstream
+(/root/reference/src/bitstream.rs:29-209: `OutputBitStream` /
+`InputBitStream`, MSB-first packing into u64 words, zero-padded close)
+as numpy *plan-then-pack* kernels instead of a per-bit state machine:
+
+- The writer takes parallel arrays ``(values, nbits)`` — every field is
+  appended MSB-first, exactly like consecutive ``write_bits`` calls
+  (bitstream.rs:103-120) — and scatters them into an output word array
+  in one vectorized pass.
+- The reader either gathers fields at precomputed absolute bit offsets
+  (vectorized, used by codec decoders after a header scan) or exposes a
+  tiny sequential cursor (`BitReader`) for format-parity decoding.
+
+Bit-order contract (pinned by the reference tests at
+bitstream.rs:216-226 and 235-282): the first bit written lands in the
+MSB of word 0; close() zero-pads the final partial word.
+
+Serialization: words are serialized big-endian so that the in-memory
+bit order equals the byte-stream bit order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_ONE = _U64(1)
+_ZERO = _U64(0)
+_SIXTYFOUR = _U64(64)
+
+#: mask_for_width[n] == (1 << n) - 1 for n in 0..64, as uint64
+MASKS = np.zeros(65, dtype=np.uint64)
+for _n in range(1, 65):
+    MASKS[_n] = (np.uint64(0xFFFFFFFFFFFFFFFF) >> np.uint64(64 - _n))
+
+
+def pack_bits(values: np.ndarray, nbits: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pack fields MSB-first into u64 words.
+
+    ``values[i]``'s low ``nbits[i]`` bits are appended in order, exactly
+    like the reference's sequence of ``write_bits(values[i], nbits[i])``
+    calls (bitstream.rs:103-120) followed by ``close()``
+    (bitstream.rs:67-73, zero-padding the last word).
+
+    Returns ``(words, total_bits)`` where ``words`` is the zero-padded
+    u64 array and ``total_bits`` the exact number of payload bits.
+    Fields with ``nbits == 0`` contribute nothing (they are allowed and
+    skipped). ``nbits`` must be <= 64 per entry.
+    """
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits = np.ascontiguousarray(nbits, dtype=np.uint64)
+    if values.shape != nbits.shape:
+        raise ValueError("values/nbits shape mismatch")
+    if values.size == 0:
+        return np.zeros(0, dtype=np.uint64), 0
+
+    # Drop zero-width fields up front so shift arithmetic stays in range.
+    nz = nbits != 0
+    if not nz.all():
+        values = values[nz]
+        nbits = nbits[nz]
+        if values.size == 0:
+            return np.zeros(0, dtype=np.uint64), 0
+
+    # mask values to their width (width 64 needs no mask)
+    values = values & MASKS[np.minimum(nbits, _SIXTYFOUR)]
+
+    ends = np.cumsum(nbits, dtype=np.uint64)
+    total_bits = int(ends[-1])
+    offsets = ends - nbits
+    nwords = (total_bits + 63) >> 6
+    out = np.zeros(nwords + 1, dtype=np.uint64)  # +1 pad for spill writes
+
+    word = (offsets >> np.uint64(6)).astype(np.int64)
+    shift = offsets & np.uint64(63)  # bit index from MSB within word
+
+    room = _SIXTYFOUR - shift  # bits available in the first word
+    fits = nbits <= room
+
+    # First-word contribution.
+    sh1 = np.where(fits, room - nbits, _ZERO).astype(np.uint64)
+    c1_fit = values << sh1
+    sh2 = np.where(fits, _ZERO, nbits - room).astype(np.uint64)
+    c1_split = values >> sh2
+    c1 = np.where(fits, c1_fit, c1_split)
+
+    # Second-word contribution for split fields: low (nbits-room) bits
+    # of value, left-aligned.
+    w2 = np.where(fits, _ZERO, nbits - room).astype(np.uint64)  # width in word+1
+    sh3 = np.where(fits, _ZERO, _SIXTYFOUR - w2).astype(np.uint64)
+    c2 = np.where(fits, _ZERO, values << sh3)
+
+    _scatter_or_sorted(out, word, c1)
+    if not fits.all():
+        sel = ~fits
+        _scatter_or_sorted(out, word[sel] + 1, c2[sel])
+
+    return out[:nwords], total_bits
+
+
+def _scatter_or_sorted(out: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+    """out[idx] |= vals where idx is sorted ascending (duplicates OK)."""
+    if idx.size == 0:
+        return
+    if idx.size == 1:
+        out[idx[0]] |= vals[0]
+        return
+    boundary = np.empty(idx.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(idx[1:], idx[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    out[idx[starts]] |= np.bitwise_or.reduceat(vals, starts)
+
+
+def unpack_fields(words: np.ndarray, offsets: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """Vectorized gather of bit fields at absolute bit ``offsets``.
+
+    Inverse of :func:`pack_bits` given known field positions (the codec
+    decoders compute these from a cheap header scan). ``words`` must be
+    the u64 word array; a zero pad word is appended internally so reads
+    at the very end never index out of bounds.
+    """
+    if offsets.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = np.empty(words.size + 1, dtype=np.uint64)
+    w[:-1] = words
+    w[-1] = 0
+    offsets = offsets.astype(np.uint64, copy=False)
+    nbits = nbits.astype(np.uint64, copy=False)
+
+    word = (offsets >> np.uint64(6)).astype(np.int64)
+    shift = offsets & np.uint64(63)
+    room = _SIXTYFOUR - shift
+    fits = nbits <= room
+
+    w0 = w[word]
+    sh1 = np.where(fits, room - nbits, _ZERO).astype(np.uint64)
+    v_fit = w0 >> sh1
+
+    # split: low `room` bits of w0 are the field's high bits
+    hi_w = np.where(fits, _ONE, nbits - room).astype(np.uint64)  # width from word+1
+    w1 = w[np.minimum(word + 1, w.size - 1)]
+    v_split = (w0 << hi_w) | (w1 >> (_SIXTYFOUR - hi_w))
+
+    out = np.where(fits, v_fit, v_split)
+    return out & MASKS[np.minimum(nbits, _SIXTYFOUR)]
+
+
+def words_to_bytes(words: np.ndarray) -> bytes:
+    """Serialize u64 words big-endian so bit order survives byte order."""
+    return words.astype(">u8").tobytes()
+
+
+def bytes_to_words(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Inverse of :func:`words_to_bytes` (length must be a multiple of 8)."""
+    arr = np.frombuffer(buf, dtype=">u8")
+    return arr.astype("=u8")
+
+
+class BitWriter:
+    """Sequential bit writer with reference `OutputBitStream` semantics.
+
+    Buffers (value, nbits) pairs and packs on ``close()``. Used by the
+    strictly-sequential codecs (Chimp128's ring-buffer reference choice
+    is loop-carried — chimpn.rs:51-120) where a plan loop emits fields
+    one by one; packing is still vectorized.
+    """
+
+    __slots__ = ("_vals", "_bits")
+
+    def __init__(self) -> None:
+        self._vals: list[int] = []
+        self._bits: list[int] = []
+
+    def write_bit(self, bit: int) -> None:
+        self._vals.append(bit & 1)
+        self._bits.append(1)
+
+    def write_bits(self, value: int, nbits: int) -> None:
+        self._vals.append(value & ((1 << nbits) - 1) if nbits < 64 else value & 0xFFFFFFFFFFFFFFFF)
+        self._bits.append(nbits)
+
+    def close(self) -> tuple[np.ndarray, int]:
+        """Returns (words, total_bits); words zero-padded like close()."""
+        vals = np.array(self._vals, dtype=np.uint64)
+        bits = np.array(self._bits, dtype=np.uint64)
+        return pack_bits(vals, bits)
+
+
+class BitReader:
+    """Sequential MSB-first reader over a u64 word array.
+
+    Mirrors `InputBitStream` (bitstream.rs:124-209). Reads past the end
+    of the buffer raise ``EOFError`` (the reference's `Error::EOF`).
+    Internally keeps the word list as Python ints — scalar numpy reads
+    are ~10x slower in a tight decode loop.
+    """
+
+    __slots__ = ("_words", "_nwords", "pos")
+
+    def __init__(self, words: np.ndarray) -> None:
+        self._words = words.tolist()
+        self._nwords = len(self._words)
+        self.pos = 0  # absolute bit offset
+
+    def read_bits(self, nbits: int) -> int:
+        pos = self.pos
+        end = pos + nbits
+        if end > self._nwords << 6:
+            raise EOFError("bitstream exhausted")
+        if nbits == 0:
+            return 0
+        w = pos >> 6
+        s = pos & 63
+        room = 64 - s
+        if nbits <= room:
+            v = (self._words[w] >> (room - nbits)) & ((1 << nbits) - 1)
+        else:
+            hi = self._words[w] & ((1 << room) - 1)
+            rest = nbits - room
+            v = (hi << rest) | (self._words[w + 1] >> (64 - rest))
+        self.pos = end
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def remaining_bits(self) -> int:
+        return (self._nwords << 6) - self.pos
