@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitio import BitReader, pack_bits, unpack_fields
+from ..bitio import BitReader, pack_bits, scatter_bits, unpack_fields
 
 # NaN sentinel terminator, lib.rs:12
 NAN_SENTINEL = np.uint64(0x7FF8000000000000)
@@ -73,20 +73,64 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros; clz(0) == 64."""
-    y = x.copy()
-    y |= y >> _U64(1)
-    y |= y >> _U64(2)
-    y |= y >> _U64(4)
-    y |= y >> _U64(8)
-    y |= y >> _U64(16)
-    y |= y >> _U64(32)
-    return _U64(64) - popcount64(y)
+    """Vectorized count-leading-zeros; clz(0) == 64.
+
+    Uses the IEEE-754 exponent of ``float64(x)``: the conversion can
+    round up across a power-of-two boundary (then the exponent is one
+    too high), which a single bit-probe corrects exactly.
+    """
+    fb = x.astype(np.float64).view(np.uint64)
+    c = np.int64(63 + 1023) - (fb >> _U64(52)).astype(np.int64)
+    np.clip(c, 0, 63, out=c)
+    probe = (x >> (np.uint64(63) - c.astype(np.uint64))) & _U64(1)
+    c += np.int64(1) - probe.astype(np.int64)
+    return np.where(x == 0, np.int64(64), c).astype(np.uint64)
 
 
 def ctz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros; ctz(0) == 64."""
-    return popcount64((~x) & (x - _U64(1)))
+    """Vectorized count-trailing-zeros; ctz(0) == 64.
+
+    ``x & -x`` isolates the lowest set bit — an exact power of two, so
+    its float64 exponent is the trailing-zero count with no rounding.
+    """
+    low = x & (~x + _U64(1))
+    fb = low.astype(np.float64).view(np.uint64)
+    e = (fb >> _U64(52)).astype(np.int64) - np.int64(1023)
+    return np.where(x == 0, np.int64(64), e).astype(np.uint64)
+
+
+def _pack_records(
+    first: np.uint64,
+    hdr_v: np.ndarray,
+    hdr_w: np.ndarray,
+    pay_v: np.ndarray,
+    pay_w: np.ndarray,
+    tail_zero_bits: int = 0,
+) -> tuple[np.ndarray, int]:
+    """Pack a 64-bit first value + per-record (header, payload) fields.
+
+    All XOR-family streams share this shape: raw first value
+    (chimp.rs:38-41), then one header field (flag/lead/center/meta,
+    <= 18 bits) and one optional payload field (<= 64 bits) per record.
+    Widths are int64; values must be pre-masked to their width (the
+    planners guarantee it structurally). ``tail_zero_bits`` appends
+    zero bits (the reference's trailing write_bit(0), chimp.rs:197).
+    """
+    m = hdr_w.size
+    off = np.empty(m + 1, dtype=np.int64)
+    off[0] = 64
+    np.cumsum(hdr_w + pay_w, out=off[1:])
+    off[1:] += 64
+    total = int(off[-1]) + tail_zero_bits
+    nwords = (total + 63) >> 6
+    out = np.zeros(nwords + 1, dtype=np.uint64)
+    out[0] = first
+    if m:
+        scatter_bits(out, off[:-1], hdr_v, hdr_w)
+        sel = np.flatnonzero(pay_w > 0)
+        if sel.size:
+            scatter_bits(out, off[:-1][sel] + hdr_w[sel], pay_v[sel], pay_w[sel])
+    return out[:nwords], total
 
 
 def _prev_same_lsb(bits: np.ndarray, default: int) -> np.ndarray:
@@ -128,73 +172,64 @@ def chimp_encode(bits: np.ndarray, reference_close: bool = False) -> tuple[np.nd
 
     xor = bits[1:] ^ bits[:-1]
     m = xor.size
+    if m == 0:
+        words, total = _pack_records(
+            bits[0],
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            tail_zero_bits=1 if reference_close else 0,
+        )
+        return words, (words.size * 64 if reference_close else total)
 
-    vals = np.zeros((m + 1, 4), dtype=np.uint64)
-    nbit = np.zeros((m + 1, 4), dtype=np.uint64)
-    # first value raw 64 bits (chimp.rs:38-41)
-    vals[0, 0] = bits[0]
-    nbit[0, 0] = 64
+    lead_u = LEADING_ROUND[np.minimum(clz64(xor), _U64(63)).astype(np.int64)]
+    enc3 = LEADING_REPR_ENC[lead_u.astype(np.int64)]
+    tz_u = ctz64(xor)
+    lead = lead_u.astype(np.int64)
+    tz = tz_u.astype(np.int64)
+    nz = xor != _U64(0)
+    low8 = (xor & _U64(0xFF)) == _U64(0)
 
-    if m:
-        clz = clz64(xor)
-        lead = LEADING_ROUND[np.minimum(clz, _U64(63)).astype(np.int64)]
-        tz = ctz64(xor)
-        low8_zero = (xor & _U64(0xFF)) == 0
+    # loop-carried leading-zeros state (chimp.rs:73,76-80): after any
+    # non-zero-XOR record the state equals its rounded lead, so the
+    # state *before* record i is the lead of the last non-zero record
+    # before i — a forward fill. Initial state u32::MAX (chimp.rs:24).
+    last_nz = np.maximum.accumulate(np.where(nz, np.arange(m), -1))
+    prev_nz = np.empty(m, dtype=np.int64)
+    prev_nz[0] = -1
+    prev_nz[1:] = last_nz[:-1]
+    state = np.where(prev_nz >= 0, lead[np.maximum(prev_nz, 0)], np.int64(-1))
 
-        # loop-carried leading-zeros state (chimp.rs:73,76-80): after any
-        # non-zero-XOR record the state equals its rounded lead, so the
-        # state *before* record i is the lead of the last non-zero record
-        # before i — a forward fill. Initial state u32::MAX (chimp.rs:24).
-        nz = xor != 0
-        last_nz = np.maximum.accumulate(np.where(nz, np.arange(m), -1))
-        prev_nz = np.empty(m, dtype=np.int64)
-        prev_nz[0] = -1
-        prev_nz[1:] = last_nz[:-1]
-        state = np.where(prev_nz >= 0, lead[np.maximum(prev_nz, 0)], _U64(0xFFFFFFFF))
+    f1 = nz & low8
+    f23 = nz & ~low8
+    f3 = f23 & (lead != state)
 
-        f0 = ~nz
-        f1 = nz & low8_zero
-        f23 = nz & ~low8_zero
-        f2 = f23 & (lead == state)
-        f3 = f23 & (lead != state)
+    center1 = np.int64(64) - lead - tz  # flag-01 center width
 
-        V = vals[1:]
-        B = nbit[1:]
-        # flag 00: xor == 0 (chimp.rs:54-58)
-        B[f0, 0] = 2
-        # flag 01: low byte zero (chimp.rs:63-73)
-        center = _U64(64) - lead - tz
-        B[f1, 0] = 2
-        V[f1, 0] = 1
-        B[f1, 1] = 3
-        V[f1, 1] = LEADING_REPR_ENC[lead[f1].astype(np.int64)]
-        B[f1, 2] = 6
-        V[f1, 2] = center[f1]
-        B[f1, 3] = center[f1]
-        V[f1, 3] = xor[f1] >> tz[f1]
-        # flag 10: lead class unchanged (chimp.rs:75-77,83)
-        B[f2, 0] = 2
-        V[f2, 0] = 2
-        B[f2, 1] = _U64(64) - lead[f2]
-        V[f2, 1] = xor[f2]
-        # flag 11: new lead class (chimp.rs:78-83)
-        B[f3, 0] = 2
-        V[f3, 0] = 3
-        B[f3, 1] = 3
-        V[f3, 1] = LEADING_REPR_ENC[lead[f3].astype(np.int64)]
-        B[f3, 2] = _U64(64) - lead[f3]
-        V[f3, 2] = xor[f3]
+    # header: flag 00 -> 2 bits of 0; flag 01 -> 2+3+6 = 11 bits
+    # (chimp.rs:66-71); flag 10 -> 2 bits; flag 11 -> 2+3 = 5 bits
+    hdr_w = 2 + f1 * np.int64(9) + f3 * np.int64(3)
+    hdr_v = np.zeros(m, dtype=np.uint64)
+    hdr_v[f1] = (_U64(1) << _U64(9)) | (enc3[f1] << _U64(6)) | center1[f1].astype(np.uint64)
+    f2 = f23 & (lead == state)
+    hdr_v[f2] = 2
+    hdr_v[f3] = (_U64(3) << _U64(3)) | enc3[f3]
 
-    fvals = vals.ravel()
-    fbits = nbit.ravel()
+    # payload: flag 01 -> xor >> trail (center bits); flags 10/11 ->
+    # low (64-lead) bits of xor (high rounded-lead bits are zero by
+    # construction, so no masking needed)
+    pay_w = f1 * center1 + f23 * (np.int64(64) - lead)
+    pay_v = xor.copy()
+    pay_v[f1] = xor[f1] >> tz_u[f1]
+
+    words, total = _pack_records(
+        bits[0], hdr_v, hdr_w, pay_v, pay_w,
+        tail_zero_bits=1 if reference_close else 0,
+    )
     if reference_close:
-        # trailing 0 bit after the sentinel (chimp.rs:197)
-        fvals = np.append(fvals, _U64(0))
-        fbits = np.append(fbits, _U64(1))
-    words, total_bits = pack_bits(fvals, fbits)
-    if reference_close:
-        total_bits = words.size * 64  # chimp.rs:199 counts padded words
-    return words, total_bits
+        total = words.size * 64  # chimp.rs:199 counts padded words
+    return words, total
 
 
 def chimp_decode(
@@ -465,90 +500,80 @@ def chimpn_encode(bits: np.ndarray, reference_close: bool = False) -> tuple[np.n
     n = bits.size
     if n == 0:
         return np.zeros(0, dtype=np.uint64), 0
-
-    fvals_parts = [np.array([bits[0]], dtype=np.uint64)]
-    fbits_parts = [np.array([64], dtype=np.uint64)]
-
-    if n > 1:
-        prev = _prev_same_lsb(bits, default=0)[1:]  # candidate j for value i>=1
-        i_arr = np.arange(1, n, dtype=np.int64)
-        # in-scope: lsb_index <= index(=i-1) && index - lsb_index < 128
-        # (chimpn.rs:59); with zero-init, j=0 is always <= i-1.
-        in_scope = (prev <= i_arr - 1) & ((i_arr - 1 - prev) < 128)
-        cand_xor = bits[1:] ^ bits[np.where(in_scope, prev, 0)]
-        cand_trail = ctz64(cand_xor)
-        use_cand = in_scope & (cand_trail > _U64(13))  # THRESHOLD, chimpn.rs:4,64
-        prev_xor = bits[1:] ^ bits[:-1]
-        xor = np.where(use_cand, cand_xor, prev_xor)
-        # trail keeps the *candidate's* value even when falling back to
-        # the previous value (chimpn.rs:53,61-73) — it only matters for
-        # the >THRESHOLD flag test, which use_cand already captures.
-        ring_idx = np.where(use_cand, prev & 127, (i_arr - 1) & 127).astype(np.uint64)
-
-        clz = clz64(xor)
-        lead = LEADING_ROUND[np.minimum(clz, _U64(63)).astype(np.int64)]
-        nz = xor != 0
-        m = xor.size
-
-        # leading-zeros state forward-fill; init 0 (chimpn.rs:24).
-        # state updates on flags 01/11 (chimpn.rs:95,99-103); flag 10
-        # means lead == state, so after any nz record state == its lead.
-        # BUT: flag 01 records also set state; flag 00 leaves it.
-        upd = nz  # every non-zero-xor record ends with state = lead
-        last_upd = np.maximum.accumulate(np.where(upd, np.arange(m), -1))
-        prev_upd = np.empty(m, dtype=np.int64)
-        prev_upd[0] = -1
-        prev_upd[1:] = last_upd[:-1]
-        state = np.where(prev_upd >= 0, lead[np.maximum(prev_upd, 0)], _U64(0))
-
-        f0 = ~nz
-        f1 = nz & use_cand  # cand_trail > 13 by construction
-        f23 = nz & ~use_cand
-        f2 = f23 & (lead == state)
-        f3 = f23 & (lead != state)
-
-        V = np.zeros((m, 4), dtype=np.uint64)
-        B = np.zeros((m, 4), dtype=np.uint64)
-        # flag 00: 9 bits = 00 ++ 7-bit ring index (chimpn.rs:78-80)
-        V[f0, 0] = ring_idx[f0]
-        B[f0, 0] = 9
-        # flag 01: 18-bit packed header + center bits (chimpn.rs:85-95)
-        center = _U64(64) - lead - cand_trail
-        hdr = (
-            ((_U64(128) | ring_idx) << _U64(9))
-            | (LEADING_REPR_ENC[lead.astype(np.int64)] << _U64(6))
-            | (center & _U64(63))
+    if n == 1:
+        words, total = _pack_records(
+            bits[0],
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=np.int64),
+            tail_zero_bits=1 if reference_close else 0,
         )
-        V[f1, 0] = hdr[f1]
-        B[f1, 0] = 18
-        V[f1, 1] = xor[f1] >> cand_trail[f1]
-        B[f1, 1] = center[f1]
-        # flag 10 (chimpn.rs:105-108)
-        V[f2, 0] = 2
-        B[f2, 0] = 2
-        V[f2, 1] = xor[f2]
-        B[f2, 1] = _U64(64) - lead[f2]
-        # flag 11 (chimpn.rs:99-108)
-        V[f3, 0] = 3
-        B[f3, 0] = 2
-        V[f3, 1] = LEADING_REPR_ENC[lead[f3].astype(np.int64)]
-        B[f3, 1] = 3
-        V[f3, 2] = xor[f3]
-        B[f3, 2] = _U64(64) - lead[f3]
+        return words, (words.size * 64 if reference_close else total)
 
-        fvals_parts.append(V.ravel())
-        fbits_parts.append(B.ravel())
+    prev = _prev_same_lsb(bits, default=0)[1:]  # candidate j for value i>=1
+    i_arr = np.arange(1, n, dtype=np.int64)
+    # in-scope: lsb_index <= index(=i-1) && index - lsb_index < 128
+    # (chimpn.rs:59); with zero-init, j=0 is always <= i-1.
+    in_scope = (prev <= i_arr - 1) & ((i_arr - 1 - prev) < 128)
+    cand_xor = bits[1:] ^ bits[np.where(in_scope, prev, 0)]
+    cand_trail = ctz64(cand_xor)
+    use_cand = in_scope & (cand_trail > _U64(13))  # THRESHOLD, chimpn.rs:4,64
+    # trail keeps the *candidate's* value even when falling back to the
+    # previous value (chimpn.rs:53,61-73) — it only matters for the
+    # >THRESHOLD flag test, which use_cand already captures.
+    xor = np.where(use_cand, cand_xor, bits[1:] ^ bits[:-1])
+    ring_idx = np.where(use_cand, prev & 127, (i_arr - 1) & 127).astype(np.uint64)
 
-    if reference_close:
-        fvals_parts.append(np.array([0], dtype=np.uint64))
-        fbits_parts.append(np.array([1], dtype=np.uint64))  # chimpn.rs:152
+    lead_u = LEADING_ROUND[np.minimum(clz64(xor), _U64(63)).astype(np.int64)]
+    enc3 = LEADING_REPR_ENC[lead_u.astype(np.int64)]
+    lead = lead_u.astype(np.int64)
+    nz = xor != _U64(0)
+    m = xor.size
 
-    words, total_bits = pack_bits(
-        np.concatenate(fvals_parts), np.concatenate(fbits_parts)
+    # leading-zeros state forward-fill; init 0 (chimpn.rs:24). Flags
+    # 01/11 set state = lead (chimpn.rs:95,99-103); flag 10 means
+    # lead == state; flag 00 leaves it — so after any non-zero record
+    # state == its lead, same forward fill as Chimp.
+    last_nz = np.maximum.accumulate(np.where(nz, np.arange(m), -1))
+    prev_nz = np.empty(m, dtype=np.int64)
+    prev_nz[0] = -1
+    prev_nz[1:] = last_nz[:-1]
+    state = np.where(prev_nz >= 0, lead[np.maximum(prev_nz, 0)], np.int64(0))
+
+    f0 = ~nz
+    f1 = nz & use_cand  # cand_trail > 13 by construction
+    f23 = nz & ~use_cand
+    f3 = f23 & (lead != state)
+
+    center = np.int64(64) - lead - cand_trail.astype(np.int64)  # f1 rows only
+
+    # header widths: flag 00 -> 9 (00 ++ 7-bit ring index,
+    # chimpn.rs:78-80); flag 01 -> 18-bit packed header
+    # (chimpn.rs:85-93); flag 10 -> 2; flag 11 -> 5 (chimpn.rs:99-108)
+    hdr_w = np.int64(9) * f0 + np.int64(18) * f1 + np.int64(2) * f23 + np.int64(3) * f3
+    hdr_v = np.zeros(m, dtype=np.uint64)
+    hdr_v[f0] = ring_idx[f0]
+    hdr_v[f1] = (
+        ((_U64(128) | ring_idx[f1]) << _U64(9))
+        | (enc3[f1] << _U64(6))
+        | (center[f1].astype(np.uint64) & _U64(63))
+    )
+    f2 = f23 & (lead == state)
+    hdr_v[f2] = 2
+    hdr_v[f3] = (_U64(3) << _U64(3)) | enc3[f3]
+
+    pay_w = f1 * center + f23 * (np.int64(64) - lead)
+    pay_v = xor.copy()
+    pay_v[f1] = xor[f1] >> cand_trail[f1]
+
+    words, total = _pack_records(
+        bits[0], hdr_v, hdr_w, pay_v, pay_w,
+        tail_zero_bits=1 if reference_close else 0,  # chimpn.rs:152
     )
     if reference_close:
-        total_bits = words.size * 64  # chimpn.rs:154
-    return words, total_bits
+        total = words.size * 64  # chimpn.rs:154
+    return words, total
 
 
 def chimpn_decode(
@@ -631,10 +656,8 @@ def patas_encode(
             return w, w.size * 64
         return np.zeros(0, dtype=np.uint64), 0
 
-    fvals_parts = [np.array([bits[0]], dtype=np.uint64)]
-    fbits_parts = [np.array([64], dtype=np.uint64)]
-
-    if n > 1:
+    m = n - 1
+    if m:
         prev = _prev_same_lsb(bits, default=-1)[1:]
         i_arr = np.arange(1, n, dtype=np.int64)
         in_scope = (prev >= 0) & (prev <= i_arr - 1) & ((i_arr - 1 - prev) < 128)
@@ -643,34 +666,37 @@ def patas_encode(
         xor = bits[1:] ^ bits[ref_j]
         trail = ctz64(xor)
         lead = clz64(xor)
-        nz = xor != 0
+        nz = xor != _U64(0)
         sig_bits = np.where(nz, _U64(64) - trail - lead, _U64(1))
         sig_bytes = (sig_bits >> _U64(3)) + ((sig_bits & _U64(7)) != 0)
         if fixed:
             # repair the ambiguous (sig_bytes==1, trail==0, xor!=0) case
             amb = nz & (sig_bytes == 1) & ((trail & _U64(0x3F)) == 0)
             sig_bytes = np.where(amb, _U64(2), sig_bytes)
-        meta = (
+        hdr_v = (
             (ring_idx << _U64(9))
             | (((sig_bytes - _U64(1)) & _U64(7)) << _U64(6))
             | (trail & _U64(0x3F))
         )
-        V = np.zeros((xor.size, 2), dtype=np.uint64)
-        B = np.zeros((xor.size, 2), dtype=np.uint64)
-        V[:, 0] = meta
-        B[:, 0] = 16
-        V[nz, 1] = xor[nz] >> trail[nz]
-        B[nz, 1] = sig_bytes[nz] * _U64(8)
-        fvals_parts.append(V.ravel())
-        fbits_parts.append(B.ravel())
+        hdr_w = np.full(m, 16, dtype=np.int64)
+        pay_w = nz * (sig_bytes.astype(np.int64) << 3)
+        pay_v = xor >> (trail & _U64(63))
+    else:
+        hdr_v = np.zeros(0, dtype=np.uint64)
+        hdr_w = np.zeros(0, dtype=np.int64)
+        pay_v = hdr_v
+        pay_w = hdr_w
 
     if reference_close:
         # terminator 0xffff + trailing 0 bit (aligned.rs:112-119)
-        fvals_parts.append(np.array([0xFFFF, 0], dtype=np.uint64))
-        fbits_parts.append(np.array([16, 1], dtype=np.uint64))
+        hdr_v = np.append(hdr_v, _U64(0xFFFF))
+        hdr_w = np.append(hdr_w, np.int64(16))
+        pay_v = np.append(pay_v, _U64(0))
+        pay_w = np.append(pay_w, np.int64(0))
 
-    words, total_bits = pack_bits(
-        np.concatenate(fvals_parts), np.concatenate(fbits_parts)
+    words, total_bits = _pack_records(
+        bits[0], hdr_v, hdr_w, pay_v, pay_w,
+        tail_zero_bits=1 if reference_close else 0,
     )
     if reference_close:
         total_bits = words.size * 64  # aligned.rs:117
