@@ -1,0 +1,195 @@
+"""FSST-style string compression (Boncz, Neumann, Leis — VLDB'20).
+
+A 255-entry table of 1..8-byte symbols replaces substrings with 1-byte
+codes; code 255 escapes a literal byte. Table training is a simplified
+bottom-up generation scheme from the paper: iteratively compress a
+sample with the current table, count adjacent symbol concatenations,
+keep the 255 highest-gain (frequency x length) candidates.
+
+This codec exists in the suite per the north rule; it is the *ratio*
+option for high-cardinality text (url, text). Encoding uses a
+longest-first regex alternation (greedy longest match per position —
+equivalent compression model, one C-level matcher pass per string);
+decoding is fully vectorized (table row gather + run-parity escape
+resolution, no per-byte Python).
+
+The chunk payload is self-contained: the trained table ships in the
+header, so any chunk decodes independently — the property that makes
+chunk-granular resume safe.
+
+Format: <u8 n_syms> (<u8 len><bytes sym>)* <u32 n_strings>
+        <lens blob: FOR-bitpacked code-lengths per string> <code bytes>
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections import Counter
+
+import numpy as np
+
+from .light import for_bitpack_decode, for_bitpack_encode
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYM_LEN = 8
+_GENERATIONS = 3
+_SAMPLE_BYTES = 1 << 16
+
+
+def _compile(symbols: list[bytes]) -> tuple[re.Pattern, dict[bytes, int]]:
+    order = sorted(range(len(symbols)), key=lambda i: -len(symbols[i]))
+    pattern = re.compile(
+        b"|".join(re.escape(symbols[i]) for i in order) + (b"|" if symbols else b"")
+        + b"(?s:.)",
+    )
+    code_of = {s: i for i, s in enumerate(symbols)}
+    return pattern, code_of
+
+
+def train(sample: list[bytes]) -> list[bytes]:
+    """Train a symbol table on sample strings (deterministic)."""
+    budget = _SAMPLE_BYTES
+    pruned: list[bytes] = []
+    for s in sample:
+        if budget <= 0:
+            break
+        pruned.append(s[: min(len(s), 4096)])
+        budget -= len(pruned[-1])
+    if not pruned:
+        return []
+
+    symbols: list[bytes] = []
+    for _ in range(_GENERATIONS):
+        pattern, _code_of = _compile(symbols)
+        counts: Counter[bytes] = Counter()
+        for s in pruned:
+            toks = pattern.findall(s)
+            counts.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                cat = a + b
+                if len(cat) <= MAX_SYM_LEN:
+                    counts[cat] += 1
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
+        )
+        symbols = [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+    return symbols
+
+
+def compress_strings(
+    offsets: np.ndarray, data: np.ndarray, symbols: list[bytes]
+) -> tuple[np.ndarray, bytes]:
+    """Compress each string independently (no cross-boundary symbols).
+    Returns (code lengths per string, concatenated code bytes)."""
+    pattern, code_of = _compile(symbols)
+    raw = data.tobytes()
+    off = offsets.tolist()
+    chunks: list[bytes] = []
+    lens = np.empty(len(off) - 1, dtype=np.int64)
+
+    def repl(m: re.Match) -> bytes:
+        tok = m.group(0)
+        c = code_of.get(tok)
+        if c is None:
+            return bytes((ESCAPE, tok[0]))
+        return bytes((c,))
+
+    for i in range(len(off) - 1):
+        enc = pattern.sub(repl, raw[off[i] : off[i + 1]])
+        chunks.append(enc)
+        lens[i] = len(enc)
+    return lens, b"".join(chunks)
+
+
+def encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    offsets = offsets.astype(np.int64, copy=False)
+    n = offsets.size - 1
+    # train on an evenly-spaced sample of strings
+    step = max(1, n // 256)
+    raw = data.tobytes()
+    sample = [
+        raw[int(offsets[i]) : int(offsets[i + 1])] for i in range(0, n, step)
+    ]
+    symbols = train(sample)
+    lens, codes = compress_strings(offsets, data, symbols)
+    head = [struct.pack("<B", len(symbols))]
+    for s in symbols:
+        head.append(struct.pack("<B", len(s)))
+        head.append(s)
+    lens_blob = for_bitpack_encode(lens) if n else b""
+    head.append(struct.pack("<II", n, len(lens_blob)))
+    head.append(lens_blob)
+    return b"".join(head) + codes
+
+
+def decode(buf: memoryview, n_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode -> (offsets, data) string block."""
+    buf = memoryview(buf)
+    n_syms = buf[0]
+    pos = 1
+    table = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)
+    sym_len = np.zeros(256, dtype=np.int64)
+    for c in range(n_syms):
+        ln = buf[pos]
+        pos += 1
+        table[c, :ln] = np.frombuffer(buf[pos : pos + ln], dtype=np.uint8)
+        sym_len[c] = ln
+        pos += ln
+    n, lens_sz = struct.unpack_from("<II", buf, pos)
+    pos += 8
+    code_lens = (
+        for_bitpack_decode(buf[pos : pos + lens_sz], n, np.int64)
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    pos += lens_sz
+    codes = np.frombuffer(buf[pos:], dtype=np.uint8)
+
+    # resolve escapes: within each maximal run of 0xFF bytes, even
+    # offsets are escape markers, odd offsets are literal payloads;
+    # any byte directly after an escape is a literal.
+    is_ff = codes == ESCAPE
+    m = codes.size
+    out_len = sym_len[codes].copy()
+    if is_ff.any():
+        run_start = np.empty(m, dtype=bool)
+        run_start[0] = is_ff[0]
+        np.greater(is_ff[1:], is_ff[:-1], out=run_start[1:])
+        run_id = np.cumsum(run_start)
+        first_in_run = np.zeros(m, dtype=np.int64)
+        starts_idx = np.flatnonzero(run_start)
+        first_in_run[starts_idx] = starts_idx
+        np.maximum.accumulate(first_in_run, out=first_in_run)
+        offset_in_run = np.arange(m, dtype=np.int64) - first_in_run
+        is_escape = is_ff & (offset_in_run % 2 == 0)
+        is_literal_ff = is_ff & ~is_escape
+        # literal byte after an escape (the non-FF case)
+        after_escape = np.zeros(m, dtype=bool)
+        after_escape[1:] = is_escape[:-1]
+        is_literal = is_literal_ff | (after_escape & ~is_ff)
+        out_len[is_escape] = 0
+        out_len[is_literal] = 1
+        mat = table[codes]
+        lit_idx = np.flatnonzero(is_literal)
+        mat[lit_idx, 0] = codes[lit_idx]
+    else:
+        mat = table[codes]
+
+    # per-code byte gather
+    ends = np.cumsum(out_len)
+    total = int(ends[-1]) if m else 0
+    row = np.repeat(np.arange(m, dtype=np.int64), out_len)
+    col = np.arange(total, dtype=np.int64) - np.repeat(ends - out_len, out_len)
+    data = mat[row, col]
+
+    # map per-string code-lengths to per-string byte-lengths
+    code_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(code_lens, out=code_off[1:])
+    byte_ends = np.zeros(n + 1, dtype=np.int64)
+    byte_ends[1:] = ends[np.maximum(code_off[1:], 1) - 1] if m else 0
+    byte_ends[code_off == 0] = 0
+    # strings with zero codes decode to the running position
+    np.maximum.accumulate(byte_ends, out=byte_ends)
+    return byte_ends, data

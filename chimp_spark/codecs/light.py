@@ -1,0 +1,401 @@
+"""Lightweight columnar codecs beyond the reference's XOR family.
+
+The reference compresses only f64 streams (lib.rs:44-50). The north
+rule generalizes it into a per-column lightweight-codec suite:
+dictionary, RLE, bit-packing, frame-of-reference, delta, Chimp over
+timestamp deltas (the reference's own TODO — chimp.rs:167 "NOTE:
+timestamps?", gorilla.rs:63), plus a byte-aligned split-stream XOR
+float codec designed here for fully-vectorized encode AND decode.
+
+All payload formats are little-endian and self-contained given the
+value count ``n`` (carried by the chunk frame — no in-band sentinel,
+unlike lib.rs:12). Numeric kernels take/return numpy arrays; string
+kernels use Arrow's (offsets, data) layout so no per-row Python
+objects are ever created.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..bitio import scatter_bits, unpack_fields
+from . import xor_ref as X
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# fixed-width bit-packing primitive (generalizes write_bits,
+# bitstream.rs:103-120, to one vectorized pass)
+# ---------------------------------------------------------------------------
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative uint64 values at fixed ``width`` bits, MSB-first."""
+    n = values.size
+    if width == 0 or n == 0:
+        return b""
+    total = n * width
+    nwords = (total + 63) >> 6
+    out = np.zeros(nwords + 1, dtype=np.uint64)
+    offsets = np.arange(n, dtype=np.int64) * width
+    scatter_bits(out, offsets, values.astype(np.uint64, copy=False),
+                 np.full(n, width, dtype=np.int64))
+    return out[:nwords].astype(">u8").tobytes()
+
+
+def bitunpack(buf: memoryview | bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`bitpack` — one vectorized gather."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    words = np.frombuffer(buf, dtype=">u8", count=(n * width + 63) >> 6).astype("=u8")
+    offsets = np.arange(n, dtype=np.uint64) * _U64(width)
+    return unpack_fields(words, offsets, np.full(n, width, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# PLAIN / CONST
+# ---------------------------------------------------------------------------
+
+def plain_encode(vals: np.ndarray) -> bytes:
+    return np.ascontiguousarray(vals).tobytes()
+
+
+def plain_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    return np.frombuffer(buf, dtype=dtype, count=n)
+
+
+def const_encode(vals: np.ndarray) -> bytes:
+    return np.ascontiguousarray(vals[:1]).tobytes()
+
+
+def const_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    one = np.frombuffer(buf, dtype=dtype, count=1)
+    return np.broadcast_to(one, (n,))
+
+
+# ---------------------------------------------------------------------------
+# FOR + bit-pack (frame-of-reference)
+# ---------------------------------------------------------------------------
+
+def for_bitpack_encode(vals: np.ndarray) -> bytes:
+    """<i64 min><u8 width> + fixed-width packed (vals - min).
+
+    Applies to any integer-kind column (and dictionary codes / run
+    lengths). Width is exact: ceil(log2(max - min + 1)).
+    """
+    iv = vals.astype(np.int64, copy=False)
+    lo = int(iv.min())
+    hi = int(iv.max())
+    width = int(hi - lo).bit_length()
+    header = struct.pack("<qB", lo, width)
+    if width == 0:
+        return header
+    return header + bitpack((iv - lo).astype(np.uint64), width)
+
+
+def for_bitpack_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    lo, width = struct.unpack_from("<qB", buf, 0)
+    if width == 0:
+        return np.full(n, lo, dtype=dtype)
+    rel = bitunpack(buf[9:], n, width)
+    return (rel.astype(np.int64) + lo).astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# DELTA + FOR bit-pack (sorted / near-sorted ints, ids, dates)
+# ---------------------------------------------------------------------------
+
+def delta_bp_encode(vals: np.ndarray) -> bytes:
+    """<i64 first> + FOR-bitpacked deltas (FOR absorbs negative deltas)."""
+    iv = vals.astype(np.int64, copy=False)
+    header = struct.pack("<q", int(iv[0]))
+    if iv.size == 1:
+        return header
+    return header + for_bitpack_encode(np.diff(iv))
+
+
+def delta_bp_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    first = struct.unpack_from("<q", buf, 0)[0]
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if n > 1:
+        deltas = for_bitpack_decode(buf[8:], n - 1, np.int64)
+        np.cumsum(deltas, out=out[1:])
+        out[1:] += first
+    return out.astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# RLE (run-length) — works on any numeric; strings go through DICT first
+# ---------------------------------------------------------------------------
+
+def rle_encode(vals: np.ndarray) -> bytes:
+    """<u32 nruns> + FOR-bitpacked run lengths + run values (plain).
+
+    Run detection is one vectorized diff (SURVEY.md §2.7).
+    """
+    n = vals.size
+    if vals.dtype.kind == "f":
+        # compare bit patterns so NaN runs collapse too
+        cmp = vals.view(np.uint64 if vals.dtype.itemsize == 8 else np.uint32)
+    else:
+        cmp = vals
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(cmp[1:], cmp[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    run_vals = vals[idx]
+    run_lens = np.diff(np.append(idx, n))
+    lens_blob = for_bitpack_encode(run_lens)
+    return (
+        struct.pack("<II", idx.size, len(lens_blob))
+        + lens_blob
+        + np.ascontiguousarray(run_vals).tobytes()
+    )
+
+
+def rle_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    nruns, lens_sz = struct.unpack_from("<II", buf, 0)
+    run_lens = for_bitpack_decode(buf[8 : 8 + lens_sz], nruns, np.int64)
+    run_vals = np.frombuffer(buf[8 + lens_sz :], dtype=dtype, count=nruns)
+    return np.repeat(run_vals, run_lens)
+
+
+# ---------------------------------------------------------------------------
+# XOR_SPLIT — the engine's production float codec [new]
+# ---------------------------------------------------------------------------
+# Split-stream, byte-aligned XOR-against-previous: per value one control
+# byte (sig_bytes(4 bits) | trail_bytes(3 bits)) in a contiguous control
+# stream, significant bytes in a contiguous payload stream. Unlike the
+# reference formats (bit-granular, interleaved — chimp.rs:53-85), BOTH
+# directions vectorize completely: decode is cumsum + 2D scatter +
+# prefix-XOR, no sequential header scan. Ratio sits between Patas and
+# Chimp; throughput is the highest of the family.
+
+def xor_split_encode(bits: np.ndarray) -> bytes:
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    n = bits.size
+    head = struct.pack("<IQ", n, int(bits[0]) if n else 0)
+    if n <= 1:
+        return head
+    xor = bits[1:] ^ bits[:-1]
+    m = n - 1
+    tzb = np.minimum(X.ctz64(xor) >> _U64(3), _U64(7))  # trailing zero bytes
+    lead = X.clz64(xor).astype(np.int64)
+    sig_bits = np.maximum(
+        np.int64(64) - lead - (tzb << _U64(3)).astype(np.int64), np.int64(0)
+    )
+    s = (sig_bits + 7) >> 3  # significant bytes; 0 iff xor == 0
+    ctrl = ((s.astype(np.uint64) << _U64(3)) | tzb).astype(np.uint8)
+
+    shifted = xor >> (tzb << _U64(3))
+    mat = shifted.view(np.uint8).reshape(m, 8)  # little-endian byte lanes
+    total = int(s.sum())
+    row = np.repeat(np.arange(m, dtype=np.int64), s)
+    ends = np.cumsum(s)
+    col = np.arange(total, dtype=np.int64) - np.repeat(ends - s, s)
+    payload = mat[row, col]
+    return head + ctrl.tobytes() + payload.tobytes()
+
+
+def xor_split_decode(buf: memoryview, n_unused: int = 0) -> np.ndarray:
+    n, first = struct.unpack_from("<IQ", buf, 0)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    out[0] = first
+    if n == 1:
+        return out
+    m = n - 1
+    ctrl = np.frombuffer(buf, dtype=np.uint8, count=m, offset=12)
+    s = (ctrl >> 3).astype(np.int64)
+    tzb = (ctrl & 7).astype(np.uint64)
+    total = int(s.sum())
+    payload = np.frombuffer(buf, dtype=np.uint8, count=total, offset=12 + m)
+    mat = np.zeros((m, 8), dtype=np.uint8)
+    row = np.repeat(np.arange(m, dtype=np.int64), s)
+    ends = np.cumsum(s)
+    col = np.arange(total, dtype=np.int64) - np.repeat(ends - s, s)
+    mat[row, col] = payload
+    xor = mat.view(np.uint64)[:, 0] << (tzb << _U64(3))
+    np.bitwise_xor.accumulate(xor, out=xor)
+    out[1:] = _U64(first) ^ xor
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TS_CHIMP — delta + Chimp for timestamps [new; reference TODO chimp.rs:167]
+# ---------------------------------------------------------------------------
+
+def ts_chimp_encode(vals: np.ndarray) -> bytes:
+    """<i64 first><u8 shift> + Chimp over MSB-aligned zigzag deltas.
+
+    Chimp's bit plan targets f64 patterns whose information sits in the
+    HIGH bits (leading-zero classes cap at 24 — lib.rs:22-26), so raw
+    small-int deltas would waste ~40 payload bits each. Zigzag folds
+    the sign, then a constant left shift (stored in the header) aligns
+    the deltas' MSBs to bit 63: XORs get long *trailing*-zero runs and
+    hit Chimp's cheap flag-01 path (chimp.rs:63-73).
+    """
+    iv = vals.astype(np.int64, copy=False)
+    if iv.size <= 1:
+        return struct.pack("<qB", int(iv[0]) if iv.size else 0, 0)
+    d = np.diff(iv)
+    zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
+    width = int(zz.max()).bit_length()
+    shift = 64 - max(width, 1)
+    words, _ = X.chimp_encode(zz << np.uint64(shift))
+    return struct.pack("<qB", int(iv[0]), shift) + words.astype(">u8").tobytes()
+
+
+def ts_chimp_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    first, shift = struct.unpack_from("<qB", buf, 0)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out.astype(dtype, copy=False)
+    out[0] = first
+    if n > 1:
+        words = np.frombuffer(buf, dtype=">u8", offset=9).astype("=u8")
+        zz = X.chimp_decode(words, n_values=n - 1) >> _U64(shift)
+        # inverse zigzag: (zz >> 1) ^ -(zz & 1)
+        deltas = (zz >> _U64(1)).astype(np.int64) ^ -((zz & _U64(1)).astype(np.int64))
+        np.cumsum(deltas, out=out[1:])
+        out[1:] += first
+    return out.astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# XOR bit-stream codecs framed for the engine (count-based, no sentinel)
+# ---------------------------------------------------------------------------
+
+def _xorwords_encode(enc):
+    def f(vals: np.ndarray) -> bytes:
+        bits = vals.view(np.uint64) if vals.dtype != np.uint64 else vals
+        words, nbits = enc(bits)
+        return struct.pack("<Q", nbits) + words.astype(">u8").tobytes()
+
+    return f
+
+
+def _xorwords_decode(dec):
+    def f(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+        words = np.frombuffer(buf, dtype=">u8", offset=8).astype("=u8")
+        if n == 0:
+            return np.zeros(0, dtype=dtype)
+        return dec(words, n_values=n).view(dtype)
+
+    return f
+
+
+chimp_block_encode = _xorwords_encode(X.chimp_encode)
+chimp_block_decode = _xorwords_decode(X.chimp_decode)
+chimpn_block_encode = _xorwords_encode(X.chimpn_encode)
+chimpn_block_decode = _xorwords_decode(X.chimpn_decode)
+gorilla_block_encode = _xorwords_encode(X.gorilla_encode)
+gorilla_block_decode = _xorwords_decode(X.gorilla_decode)
+patas_block_encode = _xorwords_encode(X.patas_encode)
+patas_block_decode = _xorwords_decode(X.patas_decode)
+
+
+# ---------------------------------------------------------------------------
+# string blocks: Arrow (offsets, data) layout
+# ---------------------------------------------------------------------------
+
+def str_plain_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    """<u32 n><u32[n+1] offsets as delta-bitpacked lengths> + data."""
+    lens = np.diff(offsets.astype(np.int64))
+    lens_blob = for_bitpack_encode(lens) if lens.size else b""
+    return (
+        struct.pack("<II", lens.size, len(lens_blob))
+        + lens_blob
+        + np.ascontiguousarray(data).tobytes()
+    )
+
+
+def str_plain_decode(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
+    n_str, lens_sz = struct.unpack_from("<II", buf, 0)
+    offsets = np.zeros(n_str + 1, dtype=np.int64)
+    if n_str:
+        lens = for_bitpack_decode(buf[8 : 8 + lens_sz], n_str, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(buf[8 + lens_sz :], dtype=np.uint8, count=int(offsets[-1]))
+    return offsets, data
+
+
+def str_const_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    ln = int(offsets[1] - offsets[0])
+    return struct.pack("<I", ln) + bytes(data[int(offsets[0]) : int(offsets[0]) + ln])
+
+
+def str_const_decode(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
+    ln = struct.unpack_from("<I", buf, 0)[0]
+    one = np.frombuffer(buf[4 : 4 + ln], dtype=np.uint8)
+    offsets = np.arange(n + 1, dtype=np.int64) * ln
+    return offsets, np.tile(one, n)
+
+
+def str_dict_encode(
+    offsets: np.ndarray, data: np.ndarray, codes: np.ndarray,
+    dict_offsets: np.ndarray, dict_data: np.ndarray, rle: bool = False,
+) -> bytes:
+    """DICT (optionally +RLE over codes): dictionary as plain string
+    block, codes FOR-bitpacked (or RLE'd first for clustered columns)."""
+    dict_blob = str_plain_encode(dict_offsets, dict_data)
+    if rle:
+        codes_blob = rle_encode(codes.astype(np.int64))
+    else:
+        codes_blob = for_bitpack_encode(codes)
+    return (
+        struct.pack("<IBI", len(dict_blob), 1 if rle else 0, len(codes_blob))
+        + dict_blob
+        + codes_blob
+    )
+
+
+def str_dict_decode(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
+    dict_sz, rle_flag, codes_sz = struct.unpack_from("<IBI", buf, 0)
+    doff, ddata = str_plain_decode(buf[9 : 9 + dict_sz], 0)
+    codes_buf = buf[9 + dict_sz : 9 + dict_sz + codes_sz]
+    if rle_flag:
+        codes = rle_decode(codes_buf, n, np.int64)
+    else:
+        codes = for_bitpack_decode(codes_buf, n, np.int64)
+    return gather_strings(doff, ddata, codes)
+
+
+def gather_strings(
+    offsets: np.ndarray, data: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized take() on a string block: build (offsets, data) of
+    ``block[idx]`` with repeat/arange byte gathers — no Python loop."""
+    offsets = offsets.astype(np.int64, copy=False)
+    starts = offsets[idx]
+    lens = offsets[idx + 1] - starts
+    out_off = np.zeros(idx.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    src = np.repeat(starts, lens) + pos
+    return out_off, data[src]
+
+
+CODEC_IDS = {
+    "plain": 1,
+    "const": 2,
+    "chimp": 3,
+    "chimpn": 4,
+    "gorilla": 5,
+    "patas": 6,
+    "xor_split": 7,
+    "dict": 8,
+    "rle": 9,
+    "for_bitpack": 10,
+    "delta_bp": 11,
+    "ts_chimp": 12,
+    "fsst": 13,
+    "bool_pack": 14,
+    "dict_rle": 15,
+}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

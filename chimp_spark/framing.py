@@ -1,0 +1,302 @@
+"""Chunk framing: typed, null-aware, self-contained compressed blobs.
+
+One frame = one column chunk. Unlike the reference's in-band NaN
+terminator (lib.rs:12, appended at close() chimp.rs:196), a frame
+carries an explicit value count and an Arrow-style validity bitmap, so:
+
+- real NaN payloads round-trip bit-identically (the reference cannot
+  represent them — any NaN truncates its stream);
+- decode never scans for a sentinel (count-driven, vectorizable);
+- nulls are first-class for every codec.
+
+Frame layout (little-endian):
+
+    magic   'CSK1'            4 bytes
+    codec   u8                light.CODEC_IDS
+    dtype   u8                DTYPE_IDS
+    flags   u8                bit0: has validity bitmap
+    pad     u8
+    n       u32               total slots
+    n_valid u32               non-null slots
+    [validity bitmap: ceil(n/8) bytes, LSB-first (Arrow order)]
+    payload ...               codec-specific, covers valid slots only
+
+Frames are decodable in isolation — the unit of parallelism AND of
+resume, mirroring the reference's independent 2,500-value rayon chunks
+(chimp.rs:154-165) at Spark-task granularity.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import fsst
+from .codecs import light as L
+from .selector import choose_codec
+
+MAGIC = b"CSK1"
+
+DTYPE_IDS = {
+    "f64": 1, "f32": 2, "i64": 3, "i32": 4, "i16": 5, "i8": 6,
+    "ts_us": 10, "ts_ns": 11, "date32": 12, "bool": 13,
+    "str": 20, "bin": 21,
+}
+DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
+
+_NUMPY_OF = {
+    "f64": np.dtype("float64"), "f32": np.dtype("float32"),
+    "i64": np.dtype("int64"), "i32": np.dtype("int32"),
+    "i16": np.dtype("int16"), "i8": np.dtype("int8"),
+    "ts_us": np.dtype("int64"), "ts_ns": np.dtype("int64"),
+    "date32": np.dtype("int32"), "bool": np.dtype("bool"),
+}
+
+
+def dtype_of_arrow(t: pa.DataType) -> str:
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_float32(t):
+        return "f32"
+    if pa.types.is_int64(t):
+        return "i64"
+    if pa.types.is_int32(t):
+        return "i32"
+    if pa.types.is_int16(t):
+        return "i16"
+    if pa.types.is_int8(t):
+        return "i8"
+    if pa.types.is_timestamp(t):
+        return "ts_us" if t.unit == "us" else "ts_ns"
+    if pa.types.is_date32(t):
+        return "date32"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+def arrow_of_dtype(code: str, tz=None) -> pa.DataType:
+    return {
+        "f64": pa.float64(), "f32": pa.float32(), "i64": pa.int64(),
+        "i32": pa.int32(), "i16": pa.int16(), "i8": pa.int8(),
+        "ts_us": pa.timestamp("us", tz), "ts_ns": pa.timestamp("ns", tz),
+        "date32": pa.date32(), "bool": pa.bool_(),
+        "str": pa.string(), "bin": pa.binary(),
+    }[code]
+
+
+def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-ish (offsets, data) of a no-null arrow string/binary
+    array, rebased to offset 0."""
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lo = int(offs[0]) if offs.size else 0
+    hi = int(offs[-1]) if offs.size else 0
+    return offs - lo, data[lo:hi]
+
+
+# numeric codec registries: name -> (encode(vals)->bytes, decode(buf,n,dtype)->vals)
+_NUM_ENC = {
+    "plain": L.plain_encode,
+    "const": L.const_encode,
+    "rle": L.rle_encode,
+    "for_bitpack": L.for_bitpack_encode,
+    "delta_bp": L.delta_bp_encode,
+    "ts_chimp": L.ts_chimp_encode,
+    "xor_split": lambda v: L.xor_split_encode(v.view(np.uint64)),
+    "chimp": L.chimp_block_encode,
+    "chimpn": L.chimpn_block_encode,
+    "gorilla": L.gorilla_block_encode,
+    "patas": L.patas_block_encode,
+}
+_NUM_DEC = {
+    "plain": L.plain_decode,
+    "const": L.const_decode,
+    "rle": L.rle_decode,
+    "for_bitpack": L.for_bitpack_decode,
+    "delta_bp": L.delta_bp_decode,
+    "ts_chimp": L.ts_chimp_decode,
+    "xor_split": lambda b, n, dt: L.xor_split_decode(b).view(dt),
+    "chimp": L.chimp_block_decode,
+    "chimpn": L.chimpn_block_decode,
+    "gorilla": L.gorilla_block_decode,
+    "patas": L.patas_block_decode,
+}
+
+_STR_ENC = {
+    "plain": L.str_plain_encode,
+    "const": L.str_const_encode,
+    "fsst": fsst.encode,
+}
+_STR_DEC = {
+    "plain": L.str_plain_decode,
+    "const": L.str_const_decode,
+    "fsst": fsst.decode,
+    "dict": L.str_dict_decode,
+    "dict_rle": L.str_dict_decode,
+}
+
+
+@dataclass
+class ChunkMeta:
+    codec: str
+    dtype: str
+    n: int
+    n_valid: int
+    raw_bytes: int
+    enc_bytes: int
+    checksum: int
+    reason: str = ""
+
+
+def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
+    """Compress one arrow array into a self-contained frame."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dtype = dtype_of_arrow(arr.type)
+    n = len(arr)
+    n_nulls = arr.null_count
+    has_nulls = n_nulls > 0
+    if has_nulls:
+        valid = np.asarray(arr.is_valid())
+        dense = arr.drop_null()
+        bitmap = np.packbits(valid, bitorder="little").tobytes()
+    else:
+        valid = None
+        dense = arr
+        bitmap = b""
+    n_valid = n - n_nulls
+
+    reason = ""
+    if dtype in ("str", "bin"):
+        offs, data = _string_block(dense)
+        raw_bytes = int(data.size) + 4 * n
+        checksum = zlib.crc32(data) ^ n
+        if codec == "auto":
+            codec, reason = choose_codec_str(offs, data)
+        payload = _encode_str_payload(codec, offs, data, dense)
+    else:
+        npdt = _NUMPY_OF[dtype]
+        if dtype == "bool":
+            vals = np.asarray(dense)
+            codec = "bool_pack"
+            payload = np.packbits(vals, bitorder="little").tobytes()
+        else:
+            if pa.types.is_timestamp(dense.type) or pa.types.is_date32(dense.type):
+                ints = dense.cast(pa.int64() if npdt == np.dtype("int64") else pa.int32())
+                vals = np.asarray(ints)
+            else:
+                vals = np.asarray(dense)
+            vals = np.ascontiguousarray(vals, dtype=npdt)
+            if codec == "auto":
+                codec, reason = choose_codec(vals, dtype)
+            payload = _NUM_ENC[codec](vals)
+        raw_bytes = n_valid * npdt.itemsize
+        checksum = zlib.crc32(np.ascontiguousarray(vals if dtype != "bool" else vals)) ^ n
+
+    flags = 1 if has_nulls else 0
+    head = MAGIC + struct.pack(
+        "<BBBBII", L.CODEC_IDS[codec], DTYPE_IDS[dtype], flags, 0, n, n_valid
+    )
+    blob = head + bitmap + payload
+    meta = ChunkMeta(
+        codec=codec, dtype=dtype, n=n, n_valid=n_valid, raw_bytes=raw_bytes,
+        enc_bytes=len(blob), checksum=checksum, reason=reason,
+    )
+    return blob, meta
+
+
+def _encode_str_payload(codec: str, offs: np.ndarray, data: np.ndarray, dense: pa.Array) -> bytes:
+    if codec in ("dict", "dict_rle"):
+        d = dense.dictionary_encode()
+        codes = np.asarray(d.indices).astype(np.int64)
+        doffs, ddata = _string_block(d.dictionary)
+        return L.str_dict_encode(offs, data, codes, doffs, ddata, rle=(codec == "dict_rle"))
+    return _STR_ENC[codec](offs, data)
+
+
+def decode_chunk(blob: bytes | memoryview, arrow_type: pa.DataType | None = None) -> pa.Array:
+    """Decompress a frame back to an arrow array (nulls restored)."""
+    buf = memoryview(blob)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    codec_id, dtype_id, flags, _pad, n, n_valid = struct.unpack_from("<BBBBII", buf, 4)
+    codec = L.CODEC_NAMES[codec_id]
+    dtype = DTYPE_NAMES[dtype_id]
+    pos = 16
+    valid = None
+    if flags & 1:
+        nbytes = (n + 7) >> 3
+        valid = np.unpackbits(
+            np.frombuffer(buf[pos : pos + nbytes], dtype=np.uint8),
+            bitorder="little", count=n,
+        ).astype(bool)
+        pos += nbytes
+    payload = buf[pos:]
+
+    if arrow_type is None:
+        arrow_type = arrow_of_dtype(dtype)
+
+    if dtype in ("str", "bin"):
+        offs, data = _STR_DEC[codec](payload, n_valid)
+        return _build_string_array(arrow_type, n, valid, offs, data)
+    if dtype == "bool":
+        vals = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), bitorder="little", count=n_valid
+        ).astype(bool)
+    else:
+        vals = _NUM_DEC[codec](payload, n_valid, _NUMPY_OF[dtype])
+
+    if valid is None:
+        return pa.array(vals, type=arrow_type) if dtype not in ("ts_us", "ts_ns", "date32") else _cast_temporal(vals, arrow_type)
+    full = np.zeros(n, dtype=vals.dtype)
+    full[valid] = vals
+    if dtype in ("ts_us", "ts_ns", "date32"):
+        base = _cast_temporal(full, arrow_type)
+        return pa.Array.from_buffers(
+            arrow_type, n,
+            [pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+             base.buffers()[1]],
+        )
+    return pa.array(full, type=arrow_type, mask=~valid)
+
+
+def _cast_temporal(ints: np.ndarray, t: pa.DataType) -> pa.Array:
+    return pa.Array.from_buffers(
+        t, ints.size, [None, pa.py_buffer(np.ascontiguousarray(ints).tobytes())]
+    )
+
+
+def _build_string_array(
+    t: pa.DataType, n: int, valid: np.ndarray | None, offs: np.ndarray, data: np.ndarray
+) -> pa.Array:
+    if valid is None:
+        full_offs = offs
+        validity_buf = None
+    else:
+        lens = np.zeros(n, dtype=np.int64)
+        lens[valid] = np.diff(offs)
+        full_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=full_offs[1:])
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    off32 = full_offs.astype(np.int32)
+    return pa.Array.from_buffers(
+        t, n,
+        [validity_buf, pa.py_buffer(off32.tobytes()), pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+    )
+
+
+def choose_codec_str(offs: np.ndarray, data: np.ndarray) -> tuple[str, str]:
+    from .selector import choose_codec_string
+
+    return choose_codec_string(offs, data)

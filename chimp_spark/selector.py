@@ -1,0 +1,162 @@
+"""Per-chunk codec auto-selection (the engine's domain-specific
+"optimizer" — SURVEY.md §4: no Catalyst extension needed, selection is
+a pure driver-side/worker-side function over sampled statistics).
+
+Strategy: trial-encode a bounded sample (head + middle slices, so
+sorted prefixes don't bias) with every applicable codec, score by
+
+    score = sampled_bytes * (1 + ALPHA * (speed_rank - 1))
+
+where speed_rank reflects relative encode+decode cost. The cheapest
+plausible codecs are screened first with O(1) stats (constant? run
+count? sortedness? cardinality?) so the expensive trials only run when
+they can win. Deterministic — same chunk always picks the same codec;
+the decision and per-candidate sizes are recorded in lineage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import fsst
+from .codecs import light as L
+
+_SAMPLE = 4096
+ALPHA = 0.05
+
+# relative encode+decode cost ranks (measured order of magnitude)
+SPEED = {
+    "const": 0.5, "plain": 1.0, "for_bitpack": 1.2, "delta_bp": 1.3,
+    "rle": 1.2, "xor_split": 1.6, "patas": 2.5, "chimp": 3.0,
+    "chimpn": 4.0, "gorilla": 4.5, "ts_chimp": 3.0,
+    "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0,
+}
+
+
+def _sample_slices(n: int) -> list[slice]:
+    if n <= 2 * _SAMPLE:
+        return [slice(0, n)]
+    mid = n // 2
+    return [slice(0, _SAMPLE), slice(mid, mid + _SAMPLE)]
+
+
+def _score(nbytes: int, codec: str) -> float:
+    return nbytes * (1.0 + ALPHA * (SPEED[codec] - 1.0))
+
+
+def _pick(cands: dict[str, int], raw: int) -> tuple[str, str]:
+    best = min(cands, key=lambda c: _score(cands[c], c))
+    # don't pay a codec that saves <2%
+    if best != "plain" and "plain" in cands and cands[best] > 0.98 * cands["plain"]:
+        best = "plain"
+    reason = ",".join(f"{c}={cands[c]}" for c in sorted(cands, key=cands.get))
+    return best, f"sample_raw={raw};{reason}"
+
+
+def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
+    """Pick a codec for a numeric/temporal chunk (valid values only)."""
+    n = vals.size
+    if n == 0:
+        return "plain", "empty"
+    if dtype in ("f64", "f32"):
+        cmpv = vals.view(np.uint64 if vals.dtype.itemsize == 8 else np.uint32)
+    else:
+        cmpv = vals
+    if n == 1 or bool((cmpv == cmpv[0]).all()):
+        return "const", "all-equal"
+
+    sample = np.concatenate([vals[s] for s in _sample_slices(n)])
+    raw = sample.nbytes
+    cands: dict[str, int] = {"plain": raw}
+
+    nruns = int(np.count_nonzero(np.diff(
+        sample.view(np.uint64) if dtype == "f64" else
+        sample.view(np.uint32) if dtype == "f32" else sample
+    ))) + 1
+    if nruns < n // 4 or nruns < sample.size // 4:
+        cands["rle"] = len(L.rle_encode(sample))
+
+    if dtype in ("f64",):
+        cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
+        cands["chimp"] = len(L.chimp_block_encode(sample))
+        cands["patas"] = len(L.patas_block_encode(sample))
+        cands["chimpn"] = len(L.chimpn_block_encode(sample))
+    elif dtype == "f32":
+        pass  # plain/rle only for now (XOR family is 64-bit)
+    elif dtype in ("ts_us", "ts_ns"):
+        cands["ts_chimp"] = len(L.ts_chimp_encode(sample))
+        cands["delta_bp"] = len(L.delta_bp_encode(sample))
+        cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+    else:  # integer kinds, date32
+        iv = sample.astype(np.int64)
+        width = int(iv.max() - iv.min()).bit_length()
+        if width <= 56:
+            cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+            dmax = np.abs(np.diff(iv)).max() if iv.size > 1 else 0
+            if int(dmax).bit_length() < width:
+                cands["delta_bp"] = len(L.delta_bp_encode(sample))
+    return _pick(cands, raw)
+
+
+def choose_codec_string(offs: np.ndarray, data: np.ndarray) -> tuple[str, str]:
+    """Pick a codec for a string/binary chunk given its (offsets, data)."""
+    n = offs.size - 1
+    if n == 0:
+        return "plain", "empty"
+    lens = np.diff(offs)
+    if n == 1 or (bool((lens == lens[0]).all()) and _all_rows_equal(offs, data, lens)):
+        return "const", "all-equal"
+
+    # sample string block
+    sl = _sample_slices(n)
+    s_idx = np.concatenate([np.arange(s.start, s.stop, dtype=np.int64) for s in sl])
+    soffs, sdata = L.gather_strings(offs, data, s_idx)
+    m = s_idx.size
+    raw = int(sdata.size) + 4 * m
+    cands: dict[str, int] = {"plain": len(L.str_plain_encode(soffs, sdata))}
+
+    # cardinality screen on a hashed sample
+    import pyarrow as pa
+
+    sample_arr = _to_arrow(soffs, sdata)
+    card = len(sample_arr.unique())
+    if card <= max(2, m // 2):
+        d = sample_arr.dictionary_encode()
+        codes = np.asarray(d.indices).astype(np.int64)
+        doffs, ddata = _block_of(d.dictionary)
+        cands["dict"] = len(L.str_dict_encode(soffs, sdata, codes, doffs, ddata))
+        nruns = int(np.count_nonzero(np.diff(codes))) + 1
+        if nruns < m // 2:
+            cands["dict_rle"] = len(
+                L.str_dict_encode(soffs, sdata, codes, doffs, ddata, rle=True)
+            )
+    avg_len = float(sdata.size) / max(m, 1)
+    if avg_len >= 8 and card > m // 4:
+        cands["fsst"] = len(fsst.encode(soffs, sdata))
+    return _pick(cands, raw)
+
+
+def _all_rows_equal(offs, data, lens) -> bool:
+    ln = int(lens[0])
+    if ln == 0:
+        return True
+    mat = data[int(offs[0]) : int(offs[0]) + ln]
+    view = data[: int(offs[-1])].reshape(-1, ln) if data.size == ln * lens.size else None
+    if view is None:
+        return False
+    return bool((view == mat).all())
+
+
+def _to_arrow(offs: np.ndarray, data: np.ndarray):
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(), offs.size - 1,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _block_of(arr) -> tuple[np.ndarray, np.ndarray]:
+    from .framing import _string_block
+
+    return _string_block(arr)

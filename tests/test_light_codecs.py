@@ -1,0 +1,192 @@
+"""Round-trip tests for the lightweight codec suite (SURVEY.md §2.7)
+and the chunk framing layer (null bitmaps, typed frames)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from chimp_spark.codecs import fsst
+from chimp_spark.codecs import light as L
+from chimp_spark import framing
+
+
+rng = np.random.default_rng(11)
+
+
+def test_bitpack_roundtrip():
+    for width in [1, 3, 7, 8, 13, 31, 33, 56, 63, 64]:
+        hi = (1 << width) - 1
+        vals = rng.integers(0, hi + 1 if width < 64 else hi, 1000, dtype=np.uint64)
+        buf = L.bitpack(vals, width)
+        np.testing.assert_array_equal(L.bitunpack(buf, 1000, width), vals)
+
+
+def test_for_bitpack():
+    vals = rng.integers(-500, 10_000, 5000).astype(np.int64)
+    buf = L.for_bitpack_encode(vals)
+    np.testing.assert_array_equal(L.for_bitpack_decode(buf, 5000, np.int64), vals)
+    assert len(buf) < vals.nbytes / 3  # 14-bit range -> ~4.5x
+
+
+def test_delta_bp_sorted():
+    vals = np.cumsum(rng.integers(0, 50, 5000)).astype(np.int64) + 10**15
+    buf = L.delta_bp_encode(vals)
+    np.testing.assert_array_equal(L.delta_bp_decode(buf, 5000, np.int64), vals)
+    assert len(buf) < vals.nbytes / 6
+
+
+def test_rle():
+    vals = np.repeat(rng.integers(0, 5, 100), rng.integers(1, 200, 100))[:5000]
+    buf = L.rle_encode(vals.astype(np.int64))
+    np.testing.assert_array_equal(L.rle_decode(buf, vals.size, np.int64), vals)
+    assert len(buf) < vals.nbytes / 10
+    # float RLE incl. NaN runs
+    f = np.repeat(np.array([1.5, np.nan, -0.0, 3.25]), 100)
+    buf = L.rle_encode(f)
+    out = L.rle_decode(buf, f.size, np.float64)
+    np.testing.assert_array_equal(out.view(np.uint64), f.view(np.uint64))
+
+
+def test_xor_split():
+    for kind in ["walk", "uniform", "runs"]:
+        if kind == "walk":
+            vals = 48.0 + np.cumsum(rng.normal(0, 0.3, 20001))
+        elif kind == "uniform":
+            vals = rng.uniform(-1e9, 1e9, 20001)
+        else:
+            vals = np.repeat(rng.normal(0, 100, 37), 600)[:20001]
+        bits = vals.view(np.uint64)
+        buf = L.xor_split_encode(bits)
+        np.testing.assert_array_equal(L.xor_split_decode(buf), bits)
+    # edge: empty / single / nan
+    assert L.xor_split_decode(L.xor_split_encode(np.zeros(0, np.uint64))).size == 0
+    one = np.array([np.nan], dtype=np.float64).view(np.uint64)
+    np.testing.assert_array_equal(L.xor_split_decode(L.xor_split_encode(one)), one)
+
+
+def test_ts_chimp():
+    base = 1_700_000_000_000_000
+    ts = base + np.cumsum(rng.integers(1000, 1100, 10000)).astype(np.int64)
+    buf = L.ts_chimp_encode(ts)
+    np.testing.assert_array_equal(L.ts_chimp_decode(buf, ts.size, np.int64), ts)
+    assert len(buf) < ts.nbytes / 2
+
+
+def test_fsst_roundtrip():
+    words = [b"http://", b"example", b".com/", b"page", b"?id=", b"&lang=en"]
+    strings = [
+        b"".join(words[i % 3 : i % 3 + 3]) + str(i).encode() for i in range(500)
+    ] + [b"", b"\xff\xff binary \x00 stuff", b"plain"]
+    data = b"".join(strings)
+    offs = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offs[1:])
+    blob = fsst.encode(offs, np.frombuffer(data, dtype=np.uint8))
+    out_offs, out_data = fsst.decode(memoryview(blob))
+    assert out_data.tobytes() == data
+    np.testing.assert_array_equal(out_offs, offs)
+    assert len(blob) < len(data)  # actually compresses the urls
+
+
+def test_fsst_escape_heavy():
+    # adversarial: lots of 0xFF bytes (escape marker collisions)
+    strings = [bytes([255] * i) for i in range(20)] + [b"\xff a \xff\xff b"] * 5
+    data = b"".join(strings)
+    offs = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offs[1:])
+    blob = fsst.encode(offs, np.frombuffer(data, dtype=np.uint8))
+    out_offs, out_data = fsst.decode(memoryview(blob))
+    assert out_data.tobytes() == data
+    np.testing.assert_array_equal(out_offs, offs)
+
+
+def test_gather_strings():
+    strs = [b"alpha", b"", b"gamma", b"dd"]
+    data = np.frombuffer(b"".join(strs), dtype=np.uint8)
+    offs = np.array([0, 5, 5, 10, 12], dtype=np.int64)
+    idx = np.array([3, 0, 1, 3, 2], dtype=np.int64)
+    o, d = L.gather_strings(offs, data, idx)
+    assert d.tobytes() == b"ddalphaddgamma"
+    np.testing.assert_array_equal(np.diff(o), [2, 5, 0, 2, 5])
+
+
+# ---------------------------------------------------------------------------
+# framing layer
+# ---------------------------------------------------------------------------
+
+ARRAYS = {
+    "f64_walk": pa.array(48.0 + np.cumsum(rng.normal(0, 0.3, 3000))),
+    "f64_nulls": pa.array(
+        [1.5, None, 2.5, float("nan"), None, -0.0, 1e300] * 100, type=pa.float64()
+    ),
+    "i64_range": pa.array(rng.integers(0, 1000, 3000), type=pa.int64()),
+    "i64_sorted": pa.array(np.cumsum(rng.integers(0, 9, 3000)), type=pa.int64()),
+    "i32": pa.array(rng.integers(-5, 5, 3000).astype(np.int32)),
+    "ts": pa.array(
+        1_700_000_000_000_000 + np.cumsum(rng.integers(1, 1000, 3000)),
+        type=pa.timestamp("us"),
+    ),
+    "ts_nulls": pa.array(
+        [1_700_000_000_000_000, None, 1_700_000_000_055_000] * 50,
+        type=pa.timestamp("us"),
+    ),
+    "str_lowcard": pa.array(["en", "de", "fr", "en", "en"] * 600),
+    "str_clustered": pa.array(["en"] * 1500 + ["de"] * 1000 + ["fr"] * 500),
+    "str_text": pa.array(
+        [f"the quick brown fox {i} jumped over http://example.com/{i%7}" for i in range(800)]
+    ),
+    "str_nulls": pa.array((["hello", None, "world", ""] * 200)),
+    "bin": pa.array([b"\x00\xff" * i for i in range(300)], type=pa.binary()),
+    "bool": pa.array(rng.integers(0, 2, 999).astype(bool)),
+    "const_str": pa.array(["same"] * 500),
+    "const_f64": pa.array([3.25] * 500),
+    "empty_f64": pa.array([], type=pa.float64()),
+    "all_null": pa.array([None] * 100, type=pa.float64()),
+}
+
+
+@pytest.mark.parametrize("name", ARRAYS)
+def test_frame_roundtrip_auto(name):
+    arr = ARRAYS[name]
+    blob, meta = framing.encode_chunk(arr, codec="auto")
+    out = framing.decode_chunk(blob, arr.type)
+    assert out.equals(arr) or _bitwise_equal(out, arr)
+    assert meta.n == len(arr)
+
+
+def _bitwise_equal(a: pa.Array, b: pa.Array) -> bool:
+    """NaNs compare unequal in arrow equals(); compare bit patterns."""
+    if not pa.types.is_floating(a.type):
+        return False
+    am = np.asarray(a.is_valid())
+    bm = np.asarray(b.is_valid())
+    if not (am == bm).all():
+        return False
+    av = np.asarray(a.drop_null()).view(np.uint64)
+    bv = np.asarray(b.drop_null()).view(np.uint64)
+    return bool((av == bv).all())
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("str_lowcard", ("dict", "dict_rle")),
+        ("str_clustered", ("dict_rle", "dict")),
+        ("i64_sorted", ("delta_bp",)),
+        ("const_str", ("const",)),
+        ("const_f64", ("const",)),
+        ("str_text", ("fsst",)),
+        ("i32", ("for_bitpack", "rle")),
+    ],
+)
+def test_selector_choices(name, expected):
+    _, meta = framing.encode_chunk(ARRAYS[name], codec="auto")
+    assert meta.codec in expected, f"{name}: got {meta.codec} ({meta.reason})"
+
+
+@pytest.mark.parametrize("codec", ["chimp", "chimpn", "gorilla", "patas", "xor_split"])
+def test_frame_explicit_float_codecs(codec):
+    arr = ARRAYS["f64_walk"]
+    blob, meta = framing.encode_chunk(arr, codec=codec)
+    out = framing.decode_chunk(blob, arr.type)
+    assert out.equals(arr)
+    assert meta.codec == codec
