@@ -1,0 +1,32 @@
+from .core import (
+    DEFAULT_CHUNK_ROWS,
+    ENC_DDL,
+    compression_summary,
+    decode_column,
+    decode_table,
+    encode_dataframe,
+    get_spark,
+)
+from .manifest import EncodedTable, encode_and_commit
+from .partitioning import (
+    detect_hot_keys,
+    repartition_balanced,
+    repartition_by_range,
+    repartition_salted,
+)
+
+__all__ = [
+    "DEFAULT_CHUNK_ROWS",
+    "ENC_DDL",
+    "EncodedTable",
+    "compression_summary",
+    "decode_column",
+    "decode_table",
+    "detect_hot_keys",
+    "encode_and_commit",
+    "encode_dataframe",
+    "get_spark",
+    "repartition_balanced",
+    "repartition_by_range",
+    "repartition_salted",
+]

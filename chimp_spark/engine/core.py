@@ -1,0 +1,272 @@
+"""Spark orchestration: DataFrame -> encoded-chunk DataFrame -> back.
+
+Architecture (SURVEY.md §3.2): the reference's rayon chunk model —
+independent fixed-size chunks, fresh codec state per chunk, order
+restored by chunk id (chimp.rs:154-165, 294-309) — maps to Spark as:
+
+    scan (parquet/iceberg-style)            [Catalyst: pruning/pushdown]
+      -> optional repartitionByRange/salt   [explicit skew control]
+      -> mapInArrow(encode kernel)          [Arrow batches, zero pandas]
+      -> encoded-chunk rows                 [one row per (column, chunk)]
+
+``mapInArrow`` (not mapInPandas) is load-bearing: pandas coerces null
+int64 to float64 and null doubles to NaN; Arrow record batches keep
+exact types and validity bitmaps end to end, which the bit-identical
+decode contract requires.
+
+Every encoded row carries (table, column, part_id, chunk_id,
+row_start, n, ...) so any subset of chunks decodes independently and
+positions reconstruct without a global sort — the unit of parallelism
+is also the unit of resume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..framing import decode_chunk, encode_chunk
+
+ENC_ARROW_SCHEMA = pa.schema(
+    [
+        ("table", pa.string()),
+        ("column", pa.string()),
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int64()),
+        ("row_start", pa.int64()),
+        ("n", pa.int64()),
+        ("n_valid", pa.int64()),
+        ("codec", pa.string()),
+        ("dtype", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("checksum", pa.int64()),
+        ("reason", pa.string()),
+        ("frame", pa.binary()),
+    ]
+)
+ENC_DDL = (
+    "table string, column string, part_id int, chunk_id long, row_start long, "
+    "n long, n_valid long, codec string, dtype string, raw_bytes long, "
+    "enc_bytes long, checksum long, reason string, frame binary"
+)
+
+DEFAULT_CHUNK_ROWS = 65_536
+
+
+def get_spark(
+    cpus: int | str = "*",
+    shuffle_partitions: int | None = None,
+    app: str = "chimp_spark",
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    driver_memory: str = "24g",
+) -> SparkSession:
+    """Session tuned for the encode pipeline at local[N]; the same
+    configs are what a cluster submit would set per executor."""
+    n = 32 if cpus == "*" else int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
+    )
+    return builder.getOrCreate()
+
+
+def encode_dataframe(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    codec: str | dict[str, str] = "auto",
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    table_name: str = "t",
+) -> DataFrame:
+    """Encode selected columns into chunk frames.
+
+    One pass over the input: each task slices its partition into
+    ``chunk_rows`` chunks and emits one encoded row per (column,
+    chunk). Narrow (no shuffle) — partitioning/skew policy is applied
+    by the caller *before* this (see partitioning.py), so the encode
+    plan composes with whatever layout the table needs.
+    """
+    cols = columns or df.columns
+    src = df.select(*cols)
+
+    codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
+    codec_map = {c: codec_of(c) for c in cols}
+
+    def encode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        state = {"chunk_id": 0, "row_start": 0}
+
+        def flush(tbl: pa.Table) -> pa.RecordBatch:
+            out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
+            for col in tbl.column_names:
+                arr = tbl.column(col).combine_chunks()
+                blob, meta = encode_chunk(arr, codec=codec_map[col])
+                out["table"].append(table_name)
+                out["column"].append(col)
+                out["part_id"].append(pid)
+                out["chunk_id"].append(state["chunk_id"])
+                out["row_start"].append(state["row_start"])
+                out["n"].append(meta.n)
+                out["n_valid"].append(meta.n_valid)
+                out["codec"].append(meta.codec)
+                out["dtype"].append(meta.dtype)
+                out["raw_bytes"].append(meta.raw_bytes)
+                out["enc_bytes"].append(meta.enc_bytes)
+                out["checksum"].append(meta.checksum)
+                out["reason"].append(meta.reason)
+                out["frame"].append(blob)
+            state["chunk_id"] += 1
+            state["row_start"] += tbl.num_rows
+            return pa.RecordBatch.from_pydict(out, schema=ENC_ARROW_SCHEMA)
+
+        pending: list[pa.RecordBatch] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            pending.append(batch)
+            buffered += batch.num_rows
+            while buffered >= chunk_rows:
+                tbl = pa.Table.from_batches(pending)
+                yield flush(tbl.slice(0, chunk_rows))
+                rest = tbl.slice(chunk_rows)
+                pending = rest.to_batches() if rest.num_rows else []
+                buffered = rest.num_rows
+        if buffered:
+            yield flush(pa.Table.from_batches(pending))
+
+    return src.mapInArrow(encode_iter, ENC_DDL)
+
+
+def decode_column(
+    encoded: DataFrame, column: str, value_ddl: str, table: str | None = None
+) -> DataFrame:
+    """Decode one column's frames -> (part_id, row_id, value).
+
+    ``row_id = row_start + offset`` is stable per encode run, so two
+    decoded columns of the same run align on (part_id, row_id) without
+    any global sort. ``value_ddl`` is the Spark type of the value
+    column, e.g. ``"double"``.
+    """
+    sel = encoded.filter(F.col("column") == column)
+    if table is not None:
+        sel = sel.filter(F.col("table") == table)
+    sel = sel.select("part_id", "row_start", "frame")
+    out_type = _arrow_type_of_ddl(value_ddl)
+
+    def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pids = b.column("part_id")
+            starts = b.column("row_start")
+            frames = b.column("frame")
+            for i in range(b.num_rows):
+                arr = _cast_to(decode_chunk(frames[i].as_py()), out_type)
+                n = len(arr)
+                rs = starts[i].as_py()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(n, pids[i].as_py(), dtype=np.int32)),
+                        pa.array(rs + np.arange(n, dtype=np.int64)),
+                        arr,
+                    ],
+                    names=["part_id", "row_id", "value"],
+                )
+
+    return sel.mapInArrow(dec_iter, f"part_id int, row_id long, value {value_ddl}")
+
+
+def _arrow_type_of_ddl(ddl: str) -> pa.DataType:
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    return to_arrow_type(_parse_datatype_string(ddl))
+
+
+def _cast_to(arr: pa.Array, t: pa.DataType) -> pa.Array:
+    return arr if arr.type == t else arr.cast(t)
+
+
+def decode_table(encoded: DataFrame, columns: list[str], ddl: str) -> DataFrame:
+    """Decode several columns back into aligned rows.
+
+    Chunks are co-located by (part_id, chunk_id) with one hash shuffle,
+    then each group's frames (one per column) decode into a single
+    output batch. ``ddl`` gives the decoded column types, e.g.
+    ``"l_orderkey long, l_extendedprice double"``.
+    """
+    sel = (
+        encoded.filter(F.col("column").isin(columns))
+        .select("part_id", "chunk_id", "row_start", "column", "frame")
+        .repartition(F.col("part_id"), F.col("chunk_id"))
+        .sortWithinPartitions("part_id", "chunk_id", "column")
+    )
+    out_types = {
+        f.split()[0]: _arrow_type_of_ddl(" ".join(f.split()[1:]))
+        for f in ddl.split(",")
+    }
+
+    def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        group_key: tuple[int, int] | None = None
+        group: dict[str, bytes] = {}
+        group_meta: tuple[int, int] = (0, 0)
+
+        def emit() -> pa.RecordBatch:
+            pid, rs = group_meta
+            arrs = {c: _cast_to(decode_chunk(group[c]), out_types[c]) for c in columns}
+            n = len(next(iter(arrs.values())))
+            cols = [
+                pa.array(np.full(n, pid, dtype=np.int32)),
+                pa.array(rs + np.arange(n, dtype=np.int64)),
+            ] + [arrs[c] for c in columns]
+            return pa.RecordBatch.from_arrays(cols, names=["part_id", "row_id"] + columns)
+
+        for b in batches:
+            for i in range(b.num_rows):
+                key = (b.column("part_id")[i].as_py(), b.column("chunk_id")[i].as_py())
+                if key != group_key and group:
+                    yield emit()
+                    group = {}
+                group_key = key
+                group_meta = (key[0], b.column("row_start")[i].as_py())
+                group[b.column("column")[i].as_py()] = b.column("frame")[i].as_py()
+        if group:
+            yield emit()
+
+    return sel.mapInArrow(dec_iter, f"part_id int, row_id long, {ddl}")
+
+
+def compression_summary(encoded: DataFrame) -> DataFrame:
+    """Per-(table, column, codec) ratio/throughput accounting — the
+    engine-side analogue of the reference's printed metrics
+    (main.rs:169-178)."""
+    return (
+        encoded.groupBy("table", "column", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n").alias("values"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn(
+            "bits_per_value", F.col("enc_bytes") * 8.0 / F.greatest(F.col("values"), F.lit(1))
+        )
+        .withColumn(
+            "ratio", F.col("raw_bytes") / F.greatest(F.col("enc_bytes"), F.lit(1))
+        )
+        .orderBy("table", "column")
+    )

@@ -1,0 +1,202 @@
+"""Iceberg-style table layout + chunk-granular lineage and resume.
+
+No Iceberg runtime ships in this sandbox, so the layout is an
+Iceberg-*style* file-based catalog (kept adapter-thin so a real
+Iceberg REST/HMS catalog can replace it):
+
+    <root>/data/part-<part_id>-<uuid>.parquet     encoded-chunk rows
+    <root>/metadata/v<N>.metadata.json            snapshot pointer
+    <root>/metadata/manifest-<N>.jsonl            one line per data file
+    <root>/metadata/version-hint.text             current version N
+
+Commit protocol (single-writer, crash-safe): data files are written
+first, then a new manifest + metadata version, then the version hint
+is atomically replaced. A crashed run leaves orphan data files but an
+older consistent snapshot; the next run's resume anti-joins completed
+partition ids from the live snapshot and re-encodes only the rest —
+the lineage rows (table, column, part_id, chunk_id, codec, bytes,
+checksum) give chunk-granular audit on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import ENC_DDL
+
+
+class EncodedTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # -- snapshot plumbing ---------------------------------------------------
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        try:
+            with open(hint) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _read_metadata(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
+            return json.load(f)
+
+    def manifest_entries(self) -> list[dict]:
+        v = self.current_version()
+        if v == 0:
+            return []
+        meta = self._read_metadata(v)
+        entries: list[dict] = []
+        for mf in meta["manifests"]:
+            with open(os.path.join(self.meta_dir, mf)) as f:
+                entries.extend(json.loads(line) for line in f if line.strip())
+        return entries
+
+    def completed_part_ids(self, table: str) -> set[int]:
+        return {
+            e["part_id"]
+            for e in self.manifest_entries()
+            if e["table"] == table and e["part_id"] >= 0 and e.get("committed", True)
+        }
+
+    def data_files(self) -> list[str]:
+        return [os.path.join(self.data_dir, e["file"]) for e in self.manifest_entries()]
+
+    # -- commit --------------------------------------------------------------
+
+    def commit(self, spark: SparkSession, encoded: DataFrame, table: str) -> dict:
+        """Write encoded chunks as per-partition parquet files + new
+        snapshot. Returns commit stats."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        run_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.data_dir, f"_staging-{run_id}")
+        encoded.write.mode("overwrite").parquet(staging)
+
+        # fold staged files into the data dir under stable names
+        files = []
+        df = spark.read.parquet(staging)
+        stats = (
+            df.groupBy("part_id")
+            .agg(
+                F.count("*").alias("chunks"),
+                F.sum("n").alias("rows"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+            )
+            .collect()
+        )
+        part_stats = {r["part_id"]: r.asDict() for r in stats}
+        import glob
+        import shutil
+
+        entries = []
+        for i, path in enumerate(sorted(glob.glob(os.path.join(staging, "part-*.parquet")))):
+            name = f"part-{run_id}-{i:05d}.parquet"
+            shutil.move(path, os.path.join(self.data_dir, name))
+            files.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        for pid, s in part_stats.items():
+            entries.append(
+                {
+                    "table": table,
+                    "part_id": pid,
+                    "chunks": s["chunks"],
+                    "rows": s["rows"],
+                    "raw_bytes": s["raw_bytes"],
+                    "enc_bytes": s["enc_bytes"],
+                    "committed": True,
+                    "files": files,
+                    "file": files[0] if files else None,
+                }
+            )
+        # data-file level entries for read path
+        file_entries = [
+            {"table": table, "part_id": -1, "file": f, "committed": True} for f in files
+        ]
+
+        v = self.current_version()
+        new_v = v + 1
+        manifest_name = f"manifest-{new_v:05d}.jsonl"
+        with open(os.path.join(self.meta_dir, manifest_name), "w") as f:
+            for e in entries + file_entries:
+                f.write(json.dumps(e) + "\n")
+        prev_manifests = self._read_metadata(v)["manifests"] if v else []
+        meta = {
+            "format-version": 1,
+            "snapshot-id": run_id,
+            "parent-version": v,
+            "timestamp-ms": int(time.time() * 1000),
+            "table": table,
+            "manifests": prev_manifests + [manifest_name],
+        }
+        with open(os.path.join(self.meta_dir, f"v{new_v}.metadata.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = os.path.join(self.meta_dir, f".hint-{run_id}")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(self.meta_dir, "version-hint.text"))
+        return {"version": new_v, "files": len(files), "partitions": len(part_stats)}
+
+    # -- read / resume ---------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        files = [
+            os.path.join(self.data_dir, e["file"])
+            for e in self.manifest_entries()
+            if e["part_id"] == -1
+        ]
+        if not files:
+            return spark.createDataFrame([], ENC_DDL)
+        return spark.read.parquet(*files)
+
+    def pending_partitions(self, df_with_pid: DataFrame, table: str) -> DataFrame:
+        """Resume filter: drop source partitions already committed.
+        ``df_with_pid`` must carry a ``__part_id`` column (use
+        spark_partition_id() right after the layout repartition)."""
+        done = self.completed_part_ids(table)
+        if not done:
+            return df_with_pid
+        return df_with_pid.filter(~F.col("__part_id").isin(sorted(done)))
+
+
+def encode_and_commit(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    table: str,
+    columns: list[str] | None = None,
+    codec: str | dict = "auto",
+    chunk_rows: int = 65_536,
+    resume: bool = True,
+) -> dict:
+    """End-to-end encode job with partition-granular resume.
+
+    Stamps each row with its physical partition id, anti-joins
+    partitions already committed in the table's snapshot, encodes the
+    rest, commits a new snapshot.
+    """
+    from .core import encode_dataframe
+
+    t = EncodedTable(root)
+    work = df.withColumn("__part_id", F.spark_partition_id())
+    if resume:
+        work = t.pending_partitions(work, table)
+    cols = columns or [c for c in df.columns]
+    encoded = encode_dataframe(work.drop("__part_id"), cols, codec=codec,
+                               chunk_rows=chunk_rows, table_name=table)
+    if encoded.isEmpty():
+        return {"version": t.current_version(), "files": 0, "partitions": 0,
+                "resumed": True}
+    return t.commit(spark, encoded, table)

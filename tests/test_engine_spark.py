@@ -1,0 +1,147 @@
+"""Spark-level end-to-end tests: encode -> decode bit-identical on the
+driver-provided tables (TESTDATA.md), plus lineage/resume and skew
+layout checks. Mirrors the reference's harness-level round-trip
+asserts (main.rs:102,136,239) at DataFrame granularity."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chimp_spark import engine
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.get_spark(cpus=4, app="chimp_spark_tests", chunk_rows=4096)
+    yield s
+    s.stop()
+
+
+def _bit_identical_double(spark, df, encoded, column):
+    dec = engine.decode_column(encoded, column, "double")
+    orig = df.select(F.col(column).cast("long").alias("k")).groupBy().count()
+    a = df.select(column).selectExpr(f"count(*) c", f"count({column}) cv")
+    b = dec.select("value").selectExpr("count(*) c", "count(value) cv")
+    assert a.collect() == b.collect()
+    # multiset equality on bit patterns (exceptAll both ways)
+    lhs = df.select(F.expr(f"cast({column} as double)").alias("v"))
+    rhs = dec.select(F.col("value").alias("v"))
+    assert lhs.exceptAll(rhs).isEmpty()
+    assert rhs.exceptAll(lhs).isEmpty()
+
+
+def test_encode_decode_lineitem_extendedprice(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    encoded = engine.encode_dataframe(
+        df, ["l_extendedprice"], codec="chimp", chunk_rows=4096, table_name="lineitem"
+    ).cache()
+    assert encoded.filter(F.col("codec") != "chimp").count() == 0
+    _bit_identical_double(spark, df, encoded, "l_extendedprice")
+    encoded.unpersist()
+
+
+def test_encode_decode_auto_multi_column(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    encoded = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=4096,
+                                      table_name="lineitem").cache()
+    # every column present, chunk accounting consistent
+    per_col = {r["column"]: r for r in engine.compression_summary(encoded).collect()}
+    assert set(per_col) == set(cols)
+    n = df.count()
+    for c in cols:
+        assert per_col[c]["values"] == n, c
+
+    dec = engine.decode_table(encoded, cols, (
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string, l_shipdate timestamp"
+    ))
+    lhs = df.select(*cols)
+    rhs = dec.select(*cols)
+    assert lhs.exceptAll(rhs).isEmpty()
+    assert rhs.exceptAll(lhs).isEmpty()
+    encoded.unpersist()
+
+
+def test_decode_column_positions_align(spark):
+    """Two decoded columns of one run align on (part_id, row_id)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    encoded = engine.encode_dataframe(
+        df, ["o_orderkey", "o_totalprice"], chunk_rows=2048, table_name="orders"
+    ).cache()
+    k = engine.decode_column(encoded, "o_orderkey", "long").withColumnRenamed("value", "k")
+    v = engine.decode_column(encoded, "o_totalprice", "double").withColumnRenamed("value", "v")
+    joined = k.join(v, ["part_id", "row_id"])
+    lhs = df.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v"))
+    assert joined.select("k", "v").exceptAll(lhs).isEmpty()
+    assert lhs.exceptAll(joined.select("k", "v")).isEmpty()
+    encoded.unpersist()
+
+
+def test_nulls_and_text_documents(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    encoded = engine.encode_dataframe(df, cols, chunk_rows=2048, table_name="documents")
+    dec = engine.decode_table(encoded, cols, "doc_id long, text string, lang string, n_chars long")
+    # byte-identical text per doc_id (the per-url invariant of the
+    # north rule, keyed by this table's key)
+    j = dec.alias("d").join(df.alias("o"), "doc_id")
+    bad = j.filter(
+        (F.col("d.text") != F.col("o.text"))
+        | (F.col("d.lang") != F.col("o.lang"))
+        | (F.col("d.n_chars") != F.col("o.n_chars"))
+    )
+    assert bad.isEmpty()
+    assert dec.count() == df.count()
+
+
+def test_skew_layout_salted_range(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hot = engine.detect_hot_keys(df, "lang", threshold=0.2)
+    laid = engine.repartition_salted(df, "lang", 8, hot_keys=hot, salt_buckets=4)
+    # hot key spread over >1 partition, no data lost
+    assert laid.count() == df.count()
+    if hot:
+        parts = (
+            laid.withColumn("pid", F.spark_partition_id())
+            .filter(F.col("lang") == hot[0])
+            .select("pid").distinct().count()
+        )
+        assert parts > 1
+
+
+def test_manifest_commit_read_resume(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet").repartition(4)
+    root = str(tmp_path / "enc_nation")
+    stats = engine.encode_and_commit(
+        spark, df, root, "nation", chunk_rows=1024, resume=True
+    )
+    assert stats["partitions"] >= 1
+    t = engine.EncodedTable(root)
+    v1 = t.current_version()
+    assert v1 == 1
+    enc = t.read(spark)
+    dec = engine.decode_table(enc, ["n_nationkey", "n_name"], "n_nationkey long, n_name string")
+    lhs = df.select("n_nationkey", "n_name")
+    assert lhs.exceptAll(dec.select("n_nationkey", "n_name")).isEmpty()
+
+    # resume: second run encodes nothing new
+    stats2 = engine.encode_and_commit(spark, df, root, "nation", chunk_rows=1024)
+    assert stats2.get("resumed") or stats2["partitions"] == 0
+    assert engine.EncodedTable(root).current_version() == v1
+
+
+def test_compression_beats_raw_on_real_columns(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    encoded = engine.encode_dataframe(
+        df, ["event_id", "ts", "event_type"], chunk_rows=4096, table_name="events"
+    )
+    rows = engine.compression_summary(encoded).collect()
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["event_id"]["ratio"] > 3  # sorted ids -> delta
+    assert by_col["ts"]["ratio"] > 1.5  # jittery timestamps -> delta_bp
+    assert by_col["event_type"]["ratio"] > 3  # low-card dict
