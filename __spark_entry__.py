@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator of the engine
+(SURVEY.md §2): encode a column (or table) with a specific codec —
+or auto-selection — decode it back, and return the decoded values.
+The DuckDB oracle reads the same parquet raw; matching row-count +
+value-hash therefore proves LOSSLESS round-trip through the codec
+under SQL-visible semantics. Aggregation-parity queries additionally
+run a TPC-H-style query over *decoded* columns vs raw SQL.
+
+Non-SQL-expressible entries (compression metrics, the synthetic pages
+pipeline with its per-url byte-identical invariant) have no oracle and
+get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +18,202 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chimp_spark import engine
+
+_CHUNK = 8192
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _roundtrip(table: str, column: str, codec: str, value_ddl: str, micros: bool = False):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _read(spark, sf_dir, table)
+        enc = engine.encode_dataframe(
+            df, [column], codec=codec, chunk_rows=_CHUNK, table_name=table
+        )
+        dec = engine.decode_column(enc, column, value_ddl)
+        v = F.unix_micros(F.col("value")) if micros else F.col("value")
+        return dec.select(v.alias("v"))
+
+    return q
+
+
+def _oracle_roundtrip(table: str, column: str, micros: bool = False) -> str:
+    expr = f"epoch_us({column})" if micros else column
+    return f"SELECT {expr} AS v FROM {table}"
+
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+_LINEITEM_DDL = (
+    "l_orderkey long, l_quantity double, l_extendedprice double, "
+    "l_discount double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+
+
+def _q1_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary computed over DECODED columns
+    (auto-selected codecs per column), proving multi-column alignment
+    and lossless semantics through a real aggregation plan."""
+    df = _read(spark, sf_dir, "lineitem")
+    enc = engine.encode_dataframe(
+        df, _LINEITEM_COLS, codec="auto", chunk_rows=_CHUNK, table_name="lineitem"
+    )
+    dec = engine.decode_table(enc, _LINEITEM_COLS, _LINEITEM_DDL)
+    return (
+        dec.filter(F.col("l_shipdate") <= "1997-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.countDistinct("l_discount").alias("n_discounts"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(DISTINCT l_discount) AS n_discounts
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the documents table: distinct text count plus
+    duplicate-row count (hash-groupBy — the map-side-combinable plan)."""
+    df = _read(spark, sf_dir, "documents")
+    return df.agg(
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("duplicate_rows"),
+    )
+
+
+def _compression_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read(spark, sf_dir, "lineitem")
+    enc = engine.encode_dataframe(
+        df, codec="auto", chunk_rows=_CHUNK, table_name="lineitem"
+    )
+    return engine.compression_summary(enc)
+
+
+def _pages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule pipeline on the synthetic Common-Crawl-style pages
+    table: salted-range layout -> encode all 5 columns -> decode ->
+    per-url byte-identical text/html check. Returns one summary row;
+    mismatches column must be 0."""
+    from chimp_spark.pages import pages_df
+    from chimp_spark.engine import partitioning
+
+    pages = pages_df(spark, total_rows=20_000, num_partitions=8)
+    laid = partitioning.repartition_salted(pages, "lang", 8, hot_keys=["en"], salt_buckets=4)
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    enc = engine.encode_dataframe(laid, cols, codec="auto", chunk_rows=_CHUNK,
+                                  table_name="pages")
+    dec = engine.decode_table(
+        enc, cols, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    j = dec.alias("d").join(pages.alias("o"), "url")
+    return j.agg(
+        F.count("*").alias("rows"),
+        F.sum(
+            F.when(
+                (F.col("d.text") != F.col("o.text"))
+                | (F.col("d.html") != F.col("o.html"))
+                | (F.col("d.lang") != F.col("o.lang"))
+                | (F.col("d.warc_ts") != F.col("o.warc_ts")),
+                1,
+            ).otherwise(0)
+        ).alias("mismatches"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: auto-encode lineitem at sf0.001, decode it back, and
+    return the per-column compression summary (codec chosen, ratio,
+    bits/value) — non-empty with a stable schema."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _read(spark, sf_dir, "lineitem")
+    enc = engine.encode_dataframe(df, codec="auto", chunk_rows=_CHUNK,
+                                  table_name="lineitem").cache()
+    summary = engine.compression_summary(enc)
+    # verification leg: decoded values must match the source exactly
+    dec = engine.decode_table(
+        enc, ["l_orderkey", "l_extendedprice"], "l_orderkey long, l_extendedprice double"
+    )
+    src = df.select("l_orderkey", "l_extendedprice")
+    mism = src.exceptAll(dec.select("l_orderkey", "l_extendedprice")).count()
+    out = summary.withColumn("roundtrip_mismatches", F.lit(mism))
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # XOR family on real double columns (reference codecs, framed)
+        "chimp_roundtrip_extendedprice": _roundtrip("lineitem", "l_extendedprice", "chimp", "double"),
+        "chimpn_roundtrip_acctbal": _roundtrip("customer", "c_acctbal", "chimpn", "double"),
+        "gorilla_roundtrip_value": _roundtrip("events", "value", "gorilla", "double"),
+        "patas_roundtrip_totalprice": _roundtrip("orders", "o_totalprice", "patas", "double"),
+        "xor_split_roundtrip_retailprice": _roundtrip("part", "p_retailprice", "xor_split", "double"),
+        # lightweight suite
+        "dict_roundtrip_lang": _roundtrip("documents", "lang", "dict", "string"),
+        "dict_rle_roundtrip_eventtype": _roundtrip("events", "event_type", "dict_rle", "string"),
+        "fsst_roundtrip_text": _roundtrip("documents", "text", "fsst", "string"),
+        "fsst_roundtrip_pname": _roundtrip("part", "p_name", "fsst", "string"),
+        "for_bitpack_roundtrip_size": _roundtrip("part", "p_size", "for_bitpack", "int"),
+        "delta_bp_roundtrip_orderkey": _roundtrip("orders", "o_orderkey", "delta_bp", "long"),
+        "rle_roundtrip_quantity": _roundtrip("lineitem", "l_quantity", "rle", "double"),
+        "ts_chimp_roundtrip_ts": _roundtrip("events", "ts", "ts_chimp", "timestamp", micros=True),
+        "delta_bp_roundtrip_shipdate": _roundtrip("lineitem", "l_shipdate", "delta_bp", "timestamp", micros=True),
+        # auto-selection end-to-end
+        "auto_roundtrip_suppkey": _roundtrip("lineitem", "l_suppkey", "auto", "long"),
+        "auto_roundtrip_mktsegment": _roundtrip("customer", "c_mktsegment", "auto", "string"),
+        # aggregation parity over decoded columns
+        "q1_pricing_decoded": _q1_decoded,
+        # training-data ops
+        "dedup_exact_documents": _dedup_exact,
+        # rows-only (no SQL equivalent)
+        "compression_summary_lineitem": _compression_summary_q,
+        "pages_pipeline_invariant": _pages_invariant,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "chimp_roundtrip_extendedprice": _oracle_roundtrip("lineitem", "l_extendedprice"),
+        "chimpn_roundtrip_acctbal": _oracle_roundtrip("customer", "c_acctbal"),
+        "gorilla_roundtrip_value": _oracle_roundtrip("events", "value"),
+        "patas_roundtrip_totalprice": _oracle_roundtrip("orders", "o_totalprice"),
+        "xor_split_roundtrip_retailprice": _oracle_roundtrip("part", "p_retailprice"),
+        "dict_roundtrip_lang": _oracle_roundtrip("documents", "lang"),
+        "dict_rle_roundtrip_eventtype": _oracle_roundtrip("events", "event_type"),
+        "fsst_roundtrip_text": _oracle_roundtrip("documents", "text"),
+        "fsst_roundtrip_pname": _oracle_roundtrip("part", "p_name"),
+        "for_bitpack_roundtrip_size": _oracle_roundtrip("part", "p_size"),
+        "delta_bp_roundtrip_orderkey": _oracle_roundtrip("orders", "o_orderkey"),
+        "rle_roundtrip_quantity": _oracle_roundtrip("lineitem", "l_quantity"),
+        "ts_chimp_roundtrip_ts": _oracle_roundtrip("events", "ts", micros=True),
+        "delta_bp_roundtrip_shipdate": _oracle_roundtrip("lineitem", "l_shipdate", micros=True),
+        "auto_roundtrip_suppkey": _oracle_roundtrip("lineitem", "l_suppkey"),
+        "auto_roundtrip_mktsegment": _oracle_roundtrip("customer", "c_mktsegment"),
+        "q1_pricing_decoded": _Q1_ORACLE,
+        "dedup_exact_documents": (
+            "SELECT COUNT(DISTINCT text) AS distinct_texts, "
+            "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"
+        ),
+    }
