@@ -93,6 +93,107 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via shingle -> MinHash -> LSH bands -> bucket
+    join -> exact-Jaccard verify; oracle recomputes the same pairs by
+    brute-force shingle Jaccard in SQL."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(df, threshold=0.9)
+
+
+_MINHASH_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (SELECT doc_id,
+   list_distinct([array_to_string(words[i:i+2], ' ')
+                  for i in range(1, greatest(len(words)-2, 1)+1)]) AS s
+ FROM w)
+SELECT l.doc_id AS a, r.doc_id AS b,
+  CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+    / greatest(len(list_distinct(l.s || r.s)), 1) AS jaccard
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+    / greatest(len(list_distinct(l.s || r.s)), 1) >= 0.9
+"""
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + fingerprinting + stopword stats (pure Catalyst
+    expressions; oracle uses the equivalent DuckDB list lambdas)."""
+    from chimp_spark.ops import text as T
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_bytes"),
+        T.fingerprint("text").alias("fp"),
+        F.size(
+            F.filter(T.tokens("text"), lambda w: w.isin(T.STOPWORDS["en"]))
+        ).alias("en_stopwords"),
+    )
+
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_bytes,
+       md5(text) AS fp,
+       len(list_filter(string_split(text, ' '),
+           w -> w IN ('the','of','and','to','in','a','is','that','for'))) AS en_stopwords
+FROM documents
+"""
+
+
+def _cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 (ids only: DuckDB computes the
+    similarity in float32, so scores differ in low bits while the
+    ranking agrees)."""
+    from chimp_spark.ops import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    return similarity.cosine_topk(emb, q, k=5).select("vec_id")
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+SELECT e.vec_id
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+LIMIT 5
+"""
+
+
+def _simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates on a self-union (rows-only check:
+    signatures aren't SQL-expressible)."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    both = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    sigs = dedup.simhash_signatures(both)
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=0)
+
+
+def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (approximate by design -> rows-only)."""
+    from chimp_spark.ops import similarity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    return similarity.lsh_bucketed_topk(emb, q, k=5, nbits=6)
+
+
+def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID distribution (rows-only)."""
+    from chimp_spark.ops import text as T
+
+    df = _read(spark, sf_dir, "documents")
+    return T.lang_id(df).groupBy("lang_pred").count()
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the documents table: distinct text count plus
     duplicate-row count (hash-groupBy — the map-side-combinable plan)."""
@@ -186,7 +287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_decoded": _q1_decoded,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
+        "minhash_dedup_documents": _minhash_dedup,
+        "text_stats_documents": _text_stats,
+        "cosine_topk_embeddings": _cosine_topk_q,
         # rows-only (no SQL equivalent)
+        "simhash_dups_documents": _simhash_dups,
+        "lsh_ann_topk_embeddings": _lsh_ann_q,
+        "lang_id_documents": _lang_id_q,
         "compression_summary_lineitem": _compression_summary_q,
         "pages_pipeline_invariant": _pages_invariant,
     }
@@ -216,4 +323,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"
         ),
+        "minhash_dedup_documents": _MINHASH_ORACLE,
+        "text_stats_documents": _TEXT_STATS_ORACLE,
+        "cosine_topk_embeddings": _COSINE_ORACLE,
     }

@@ -1,0 +1,200 @@
+"""Benchmark harness: encode/decode throughput + scaling evidence.
+
+Runs the headline jobs at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": ..., "detail": {...}}
+
+Methodology: the sf0.1 files are small relative to 32 workers, so raw
+single-pass timing measures worker spawn + import, not the engine. We
+therefore (a) replicate the input in-flight (union xREP) so each task
+gets steady-state-sized work — exactly the regime a 100 TB run lives
+in — and (b) run one warm-up pass before the timed pass (JVM JIT,
+python worker fork+import, allocator heap growth are one-time costs
+per executor in a real deployment).
+
+Scaling evidence per BASELINE.json north rule: the same job at
+local[8] vs local[32] (N vs 4N cores in one box — the sandbox stand-in
+for N vs 4N executors), reporting throughput at both plus efficiency
+(T_N/T_4N)/4. SPARK_GRAFT_BENCH_SCALING=0 skips the second session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "8"))
+CHUNK = 65_536
+
+
+FIXED_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
+
+
+def _replicated(spark, sf_dir: str, table: str, rep: int, parts: int):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    out = df
+    for _ in range(rep - 1):
+        out = out.unionAll(df)
+    return out.repartition(parts).cache()
+
+
+def _timed_encode(engine, F, df, table: str, warm: bool = True):
+    def one_pass():
+        t0 = time.perf_counter()
+        enc = engine.encode_dataframe(df, codec="auto", chunk_rows=CHUNK,
+                                      table_name=table)
+        agg = enc.agg(
+            F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"),
+            F.sum("encode_ns").alias("ns"),
+        ).collect()[0]
+        return time.perf_counter() - t0, agg["r"], agg["e"], agg["ns"]
+
+    if warm:
+        one_pass()
+    return one_pass()
+
+
+def _bench_encode_session(cpus: int, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from chimp_spark import engine
+
+    spark = engine.get_spark(cpus=cpus, app=f"bench{cpus}", chunk_rows=CHUNK)
+    try:
+        # FIXED partition count across scaling levels: identical task
+        # sizes, only the core count varies (fair N vs 4N comparison)
+        df = _replicated(spark, sf_dir, "lineitem", REP, FIXED_PARTS)
+        df.count()
+        sec, raw, enc, ns = _timed_encode(engine, F, df, "lineitem")
+        return {"sec": sec, "raw_bytes": raw, "enc_bytes": enc,
+                "gbps": raw / sec / 1e9,
+                "kernel_gbps_per_core_sum": raw / max(ns, 1)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from chimp_spark import engine
+
+    results: dict[str, float] = {}
+    extra: dict = {}
+
+    spark = engine.get_spark(cpus=CPUS, app="bench_main", chunk_rows=CHUNK)
+    try:
+        # per-table steady-state encode (warm pass then timed pass)
+        per_table = {}
+        for table, rep in [("lineitem", REP), ("orders", REP), ("events", REP),
+                           ("documents", max(2, REP // 2))]:
+            df = _replicated(spark, SF_DIR, table, rep, FIXED_PARTS)
+            df.count()
+            sec, raw, enc, ns = _timed_encode(engine, F, df, table)
+            per_table[table] = {
+                "sec": round(sec, 3), "raw_bytes": raw, "enc_bytes": enc,
+                "gbps": round(raw / sec / 1e9, 4),
+                "kernel_gbps": round(raw / max(ns, 1) * CPUS, 4),
+                "ratio": round(raw / max(enc, 1), 3),
+            }
+            results[f"encode_{table}"] = round(sec, 3)
+            df.unpersist()
+        extra["encode_tables"] = per_table
+
+        # decode path (steady state)
+        df = _replicated(spark, SF_DIR, "lineitem", REP, CPUS)
+        df.count()
+        cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+        ddl = ("l_orderkey long, l_quantity double, l_extendedprice double, "
+               "l_returnflag string, l_shipdate timestamp")
+        enc = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=CHUNK,
+                                      table_name="lineitem").cache()
+        enc.count()
+        engine.decode_table(enc, cols, ddl).count()  # warm
+        t0 = time.perf_counter()
+        n = engine.decode_table(enc, cols, ddl).count()
+        dt = time.perf_counter() - t0
+        results["decode_lineitem"] = round(dt, 3)
+        raw5 = enc.agg(F.sum("raw_bytes")).collect()[0][0]
+        extra["decode"] = {"rows": n, "gbps": round(raw5 / dt / 1e9, 4)}
+        enc.unpersist()
+        df.unpersist()
+
+        # query over decoded data
+        import __spark_entry__ as em
+
+        t0 = time.perf_counter()
+        em.queries()["q1_pricing_decoded"](spark, SF_DIR).collect()
+        results["q1_pricing_decoded"] = round(time.perf_counter() - t0, 3)
+
+        # north-rule pages pipeline (generator is CPU-bound, data scales
+        # with rows — no replication needed)
+        from chimp_spark.engine import partitioning
+        from chimp_spark.pages import pages_df
+
+        pages = pages_df(spark, total_rows=400_000, num_partitions=CPUS)
+        laid = partitioning.repartition_salted(pages, "lang", CPUS,
+                                               hot_keys=["en"], salt_buckets=8).cache()
+        laid.count()
+        t0 = time.perf_counter()
+        enc_p = engine.encode_dataframe(laid, codec="auto", chunk_rows=CHUNK,
+                                        table_name="pages")
+        agg = enc_p.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+        dt = time.perf_counter() - t0
+        results["encode_pages"] = round(dt, 3)
+        extra["pages"] = {
+            "raw_bytes": agg["r"], "enc_bytes": agg["e"],
+            "gbps": round(agg["r"] / dt / 1e9, 4),
+            "ratio": round(agg["r"] / max(agg["e"], 1), 3),
+        }
+        laid.unpersist()
+    finally:
+        spark.stop()
+
+    if DO_SCALING:
+        # two N-vs-4N pairs: (2 vs 8) shows the engine's scaling in the
+        # regime where this box doesn't throttle all-core frequency;
+        # (8 vs 32) is reported too with the machine ceiling noted
+        # (raw multiprocessing on this box caps 8->32 at ~2.5x).
+        extra["scaling"] = {}
+        sessions = {}
+        pairs = [(2, 8), (CPUS // 4, CPUS)] if CPUS >= 16 else [(max(CPUS // 4, 1), CPUS)]
+        for c in sorted({x for p in pairs for x in p}):
+            sessions[c] = _bench_encode_session(c, SF_DIR)
+            results[f"encode_lineitem_local{c}"] = round(sessions[c]["sec"], 3)
+        for n, n4 in pairs:
+            if n in sessions and n4 in sessions and n4 == 4 * n:
+                sp = sessions[n]["sec"] / sessions[n4]["sec"]
+                extra["scaling"][f"{n}_to_{n4}"] = {
+                    "gbps_n": round(sessions[n]["gbps"], 4),
+                    "gbps_4n": round(sessions[n4]["gbps"], 4),
+                    "speedup": round(sp, 3),
+                    "efficiency": round(sp / 4, 3),
+                }
+
+    total = sum(results.values())
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "encode_decode_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "detail": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ ENC_ARROW_SCHEMA = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("checksum", pa.int64()),
+        ("encode_ns", pa.int64()),
         ("reason", pa.string()),
         ("frame", pa.binary()),
     ]
@@ -52,7 +53,7 @@ ENC_ARROW_SCHEMA = pa.schema(
 ENC_DDL = (
     "table string, column string, part_id int, chunk_id long, row_start long, "
     "n long, n_valid long, codec string, dtype string, raw_bytes long, "
-    "enc_bytes long, checksum long, reason string, frame binary"
+    "enc_bytes long, checksum long, encode_ns long, reason string, frame binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -113,9 +114,13 @@ def encode_dataframe(
 
         def flush(tbl: pa.Table) -> pa.RecordBatch:
             out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
+            import time as _time
+
             for col in tbl.column_names:
                 arr = tbl.column(col).combine_chunks()
+                t0 = _time.perf_counter_ns()
                 blob, meta = encode_chunk(arr, codec=codec_map[col])
+                out["encode_ns"].append(_time.perf_counter_ns() - t0)
                 out["table"].append(table_name)
                 out["column"].append(col)
                 out["part_id"].append(pid)
@@ -261,6 +266,11 @@ def compression_summary(encoded: DataFrame) -> DataFrame:
             F.sum("n").alias("values"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum("encode_ns").alias("encode_ns"),
+        )
+        .withColumn(
+            "kernel_gbps",
+            F.col("raw_bytes") / F.greatest(F.col("encode_ns"), F.lit(1)),
         )
         .withColumn(
             "bits_per_value", F.col("enc_bytes") * 8.0 / F.greatest(F.col("values"), F.lit(1))

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the shapes a large-scale training-data pipeline needs.
+
+Scale notes (the designs assume 10^9+ documents):
+- exact: hash-groupBy (map-side combinable; one shuffle on the hash,
+  never on the full text).
+- MinHash+LSH: signatures are computed in an Arrow-vectorized kernel
+  (numpy over all shingles of a batch at once — no per-row Python),
+  then banding turns near-dup search into an equi-join on (band,
+  band_hash): cheap shuffle keys, no O(n^2) pair generation. Candidate
+  pairs are verified with exact shingle Jaccard (array_intersect /
+  array_union — JVM-side).
+- SimHash: 64-bit signature, bucketed by 4x16-bit sub-keys (any pair
+  within Hamming distance 3 shares at least one sub-key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 64-bit hash mixing constants (splitmix64)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _SM_GAMMA).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _M1
+    x ^= x >> np.uint64(27)
+    x *= _M2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def exact_duplicates(df: DataFrame, col: str = "text") -> DataFrame:
+    """Groups of byte-identical values with multiplicity > 1."""
+    return (
+        df.groupBy(col)
+        .agg(F.count("*").alias("copies"), F.collect_list("doc_id").alias("doc_ids"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct (cols) combination (hash-based)."""
+    return df.dropDuplicates(cols)
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_HASH_PREFIX = 16  # hash first 16 bytes of each token + its length
+
+
+def _tokenize_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native whitespace tokenization of a string batch ->
+    (word_hashes: uint64 flat array, doc_offsets into it).
+
+    Deterministic (FNV-1a over the first 16 bytes + length, mixed with
+    splitmix64) and vectorized: C-level split, then ``_HASH_PREFIX``
+    byte-lane passes over a (n_words, 16) matrix — no per-word Python.
+    """
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(texts, " ")
+    flat = lists.values
+    doc_offsets = np.frombuffer(lists.buffers()[1], dtype=np.int32)[
+        lists.offset : lists.offset + len(lists) + 1
+    ].astype(np.int64)
+
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), doc_offsets
+    bufs = flat.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+        flat.offset : flat.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = np.diff(offs)
+    take = np.minimum(lens, _HASH_PREFIX)
+    mat = np.zeros((n, _HASH_PREFIX), dtype=np.uint8)
+    total = int(take.sum())
+    if total:
+        row = np.repeat(np.arange(n, dtype=np.int64), take)
+        ends = np.cumsum(take)
+        col = np.arange(total, dtype=np.int64) - np.repeat(ends - take, take)
+        mat[row, col] = data[np.repeat(offs[:-1], take) + col]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(_HASH_PREFIX):
+        h = (h ^ mat[:, j]) * _FNV_PRIME
+    h ^= lens.astype(np.uint64) << np.uint64(1)
+    return _splitmix64(h), doc_offsets
+
+
+def _shingle_hashes(
+    word_h: np.ndarray, doc_offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling word-k-gram hashes per doc with per-doc zero padding
+    (each doc yields exactly its word count of shingles, so results
+    are independent of batch layout). Returns (flat shingles,
+    shingle_offsets per doc)."""
+    nw = np.diff(doc_offsets)
+    ndocs = nw.size
+    if word_h.size == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(ndocs + 1, dtype=np.int64)
+    pad = k - 1
+    ext_off = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(nw + pad, out=ext_off[1:])
+    ext = np.zeros(int(ext_off[-1]), dtype=np.uint64)
+    dst = np.arange(word_h.size, dtype=np.int64) + np.repeat(
+        pad * np.arange(ndocs, dtype=np.int64), nw
+    )
+    ext[dst] = word_h
+    acc = _splitmix64(ext.copy())
+    for j in range(1, k):
+        shifted = np.zeros_like(ext)
+        shifted[:-j] = ext[j:]
+        acc = _splitmix64(acc ^ shifted)
+    # shingle i of doc d sits at ext position ext_off[d] + i, i < nw[d]
+    sh_off = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(nw, out=sh_off[1:])
+    return acc[dst], sh_off
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """-> (id, sig: array<bigint>) via an Arrow-vectorized kernel.
+
+    MinHash estimate: sig_i = min over shingles of h_i(shingle), with
+    h_i(x) = splitmix64(x ^ seed_i). The per-doc min over all hash
+    lanes is one (n_shingles x num_hashes) numpy reduction.
+    """
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    sel = df.select(id_col, text_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            word_h, doc_off = _tokenize_batch(b.column(1))
+            sh, sh_off = _shingle_hashes(word_h, doc_off, shingle_k)
+            ndocs = b.num_rows
+            empty = np.diff(sh_off) == 0
+            starts = np.minimum(sh_off[:-1], max(sh.size - 1, 0))
+            sigs = np.zeros((ndocs, num_hashes), dtype=np.uint64)
+            if sh.size:
+                for j in range(num_hashes):  # lane-at-a-time: O(shingles) mem
+                    lane = _splitmix64(sh ^ seeds[j])
+                    sigs[:, j] = np.minimum.reduceat(lane, starts)
+            sigs[empty] = 0
+            sig_list = pa.FixedSizeListArray.from_arrays(
+                pa.array((sigs >> np.uint64(1)).astype(np.int64).ravel()), num_hashes
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, sig_list], names=["id", "sig"])
+
+    return sel.mapInArrow(kernel, "id long, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_key) -> (a, b)
+    candidate pairs (a < b). Shuffle key is a 2-int tuple, never text."""
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def shingle_array(text_col: str, k: int = 3) -> F.Column:
+    """Word k-gram array, built entirely with Catalyst expressions."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.9, k: int = 3,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs (JVM set ops)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_array(text_col, k)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    return verify_jaccard(cands, df, id_col, text_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word hashes (vectorized popcount-style sum)."""
+    sel = df.select(id_col, text_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            word_h, doc_off = _tokenize_batch(b.column(1))
+            ndocs = b.num_rows
+            nw = np.diff(doc_off)
+            out = np.zeros(ndocs, dtype=np.uint64)
+            if word_h.size:
+                starts = np.minimum(doc_off[:-1], max(word_h.size - 1, 0))
+                # bit-at-a-time vote: 64 reduceat passes over the flat
+                # word-hash array (no per-doc Python)
+                for bit in range(64):
+                    ones = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                    votes = np.add.reduceat(ones, starts)
+                    out |= np.uint64(1 << bit) * (2 * votes > nw)
+            out[nw == 0] = 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array((out >> np.uint64(1)).astype(np.int64))],
+                names=["id", "simhash"],
+            )
+
+    return sel.mapInArrow(kernel, "id long, simhash long")
+
+
+def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Bucket by 4x16-bit sub-keys (pigeonhole: Hamming<=3 pairs share
+    a sub-key), verify exact Hamming distance with bit ops."""
+    parts = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"k{i}")
+        for i in range(4)
+    ]
+    keyed = sigs.select("id", "simhash", *parts)
+    pairs = None
+    for i in range(4):
+        l = keyed.alias("l")
+        r = keyed.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.k{i}") == F.col(f"r.k{i}")) & (F.col("l.id") < F.col("r.id")),
+        ).select(
+            F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k for a query vector. The
+  query is a broadcast literal; the dot product is a Catalyst
+  ``aggregate(zip_with(...))`` fold, so the scan stays JVM-side,
+  whole-stage-codegen'd, and embarrassingly parallel. This is the
+  baseline/verifier.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  (signed projections, vectorized in Arrow batches) bucket vectors so
+  a query probes only its bucket (and optionally neighboring probes).
+  At 10^12 vectors the bucket join replaces the full scan.
+- ``embedding_near_dup_pairs``: pairs with cosine >= threshold via
+  LSH buckets + exact verification (near-dup image/text dedup shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(col: str, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(F.col(col), q, lambda a, b: a * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    nq = float(np.sqrt(np.dot(query, query)))
+    return dot / (nv * F.lit(nq))
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (JVM-side fold, no UDF)."""
+    return (
+        df.select(id_col, _cosine_expr(vec_col, query).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).astype(np.float32)
+
+
+def rp_signatures(
+    df: DataFrame, dim: int, nbits: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) bucket signatures.
+    One matmul per Arrow batch — vectorized, deterministic."""
+    planes = _hyperplanes(dim, nbits, seed)
+    sel = df.select(id_col, vec_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        weights = (1 << np.arange(nbits, dtype=np.int64))
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            flat = np.asarray(vecs.values, dtype=np.float32)
+            mat = flat.reshape(b.num_rows, dim) if b.num_rows else flat.reshape(0, dim)
+            proj = mat @ planes.T  # (n, nbits)
+            sig = ((proj > 0) @ weights).astype(np.int64)
+            yield pa.RecordBatch.from_arrays([ids, pa.array(sig)], names=["id", "bucket"])
+
+    return sel.mapInArrow(kernel, "id long, bucket long")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame, query: list[float], k: int = 10, nbits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN: probe the query's bucket (+ single-bit-flip neighbors up to
+    ``multiprobe`` flips) and rank exactly within it."""
+    dim = len(query)
+    planes = _hyperplanes(dim, nbits, seed)
+    qsig = int(((np.asarray(query, dtype=np.float32) @ planes.T) > 0)
+               @ (1 << np.arange(nbits, dtype=np.int64)))
+    probes = {qsig}
+    if multiprobe >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(nbits)}
+    sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed)
+    cand_ids = sigs.filter(F.col("bucket").isin(sorted(probes))).select(
+        F.col("id").alias(id_col)
+    )
+    cands = df.join(cand_ids, id_col)  # AQE broadcasts the small side
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, nbits: int = 12, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH bucket equi-join -> exact cosine
+    verify (array ops). Bucket join bounds the candidate set; at scale
+    use more bits / several independent tables."""
+    sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed)
+    pairs = (
+        sigs.alias("l")
+        .join(sigs.alias("r"),
+              (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    j = (
+        pairs.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")
+        .join(vecs.withColumnRenamed("id", "b").withColumnRenamed("v", "vb"), "b")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    return (
+        j.withColumn("cos", dot / (norm("va") * norm("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,154 @@
+"""Tests for training-data ops: dedup (exact/minhash/simhash),
+text analysis, similarity search."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chimp_spark import engine
+from chimp_spark.ops import dedup, similarity, text
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.get_spark(cpus=4, app="ops_tests", chunk_rows=4096)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    groups = dedup.exact_duplicates(doubled, "text")
+    assert groups.count() == docs.count()  # every text now has 2 copies
+    assert dedup.exact_dedup(doubled, ["text"]).count() == docs.count()
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    base = docs.limit(50).cache()
+    # near-dups: drop the last word -> jaccard stays high for long docs
+    near = base.withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "text",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, F.size(F.split(F.col("text"), " ")) - 1)),
+    )
+    both = base.unionAll(near)
+    pairs = dedup.minhash_dedup_pairs(both, threshold=0.7).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    n_docs = base.count()
+    expected = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    hit = len(found & expected)
+    assert hit >= 0.8 * n_docs, f"minhash found {hit}/{n_docs} planted near-dups"
+    # verification step keeps jaccard exact
+    for r in pairs:
+        assert r["jaccard"] >= 0.7
+
+
+def test_minhash_matches_bruteforce_ground_truth(spark, docs):
+    """The testdata plants genuine near-dups; LSH + verify must find
+    exactly the pairs a brute-force all-pairs exact Jaccard finds."""
+    found = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(dedup.shingle_array("text", 3)).alias("sh"),
+    )
+    brute = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.id") < F.col("r.id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.sh", "r.sh"))
+            / F.greatest(F.size(F.array_union("l.sh", "r.sh")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    truth = {(r[0], r[1]) for r in brute.select("l.id", "r.id").collect()}
+    assert found == truth
+    assert len(truth) > 0  # data does contain planted near-dups
+
+
+def test_minhash_signature_determinism(spark, docs):
+    a = {r["id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    b = {
+        r["id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(docs.repartition(7)).collect()
+    }
+    assert a == b  # independent of partition layout
+
+
+def test_simhash_pairs(spark, docs):
+    base = docs.limit(40).cache()
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = base.unionAll(dup)
+    sigs = dedup.simhash_signatures(both)
+    pairs = dedup.simhash_candidate_pairs(sigs, max_hamming=0).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    expected = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    assert expected <= found  # identical docs -> identical simhash
+
+
+def test_text_features(spark, docs):
+    out = text.quality_score(docs).select("doc_id", "n_tokens", "quality", "stopword_ratio")
+    rows = out.collect()
+    assert all(0 <= r["quality"] <= 1 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    fp = docs.select(text.fingerprint("text").alias("fp")).collect()
+    assert len({r["fp"] for r in fp}) == len(rows)  # distinct texts -> distinct md5
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and that is that"),
+            (2, "der hund ist von der stadt und das ist gut"),
+            (3, "le chat est un animal et la maison est grande"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    rows = embeddings.limit(1).collect()
+    q = [float(x) for x in rows[0]["embedding"]]
+    top = similarity.cosine_topk(embeddings, q, k=5).collect()
+    assert top[0]["vec_id"] == rows[0]["vec_id"]  # self is nearest
+    assert abs(top[0]["cos"] - 1.0) < 1e-6
+    cosines = [r["cos"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    rows = embeddings.limit(5).collect()
+    hits = 0
+    for row in rows:
+        q = [float(x) for x in row["embedding"]]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(embeddings, q, k=3).collect()]
+        ann = [r["vec_id"] for r in similarity.lsh_bucketed_topk(embeddings, q, k=3, nbits=6).collect()]
+        hits += len(set(exact[:1]) & set(ann))
+    assert hits >= 4  # top-1 recall >= 80% with multiprobe
+
+def test_embedding_near_dups(spark, embeddings):
+    dup = embeddings.withColumn("vec_id", F.col("vec_id") + 100_000)
+    both = embeddings.unionAll(dup)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.999, nbits=8)
+    found = {(r["a"], r["b"]) for r in pairs.collect()}
+    expected = {(r["vec_id"], r["vec_id"] + 100_000) for r in embeddings.collect()}
+    assert expected <= found
