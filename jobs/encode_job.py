@@ -1,0 +1,74 @@
+"""spark-submit entry point: encode a parquet table into an encoded
+(Iceberg-style) chimp_spark table, with resume and skew layout.
+
+Usage (local example; on a cluster swap --master and add executors):
+
+    python jobs/make_pyfiles.py  # builds dist/chimp_spark.zip
+    spark-submit --master local[32] \\
+        --py-files dist/chimp_spark.zip \\
+        jobs/encode_job.py \\
+        --input /root/testdata/sf0.1/lineitem.parquet \\
+        --output /tmp/enc/lineitem --table lineitem \\
+        --partitions 64 --codec auto [--range-key l_shipdate] \\
+        [--salt-key lang --salt-buckets 8] [--no-resume]
+
+The job is idempotent: interrupted runs resume at partition
+granularity from the table's snapshot (chunk-granular lineage rows are
+committed with the data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", default=None, help="comma-separated; default all")
+    p.add_argument("--codec", default="auto")
+    p.add_argument("--chunk-rows", type=int, default=65_536)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--range-key", default=None)
+    p.add_argument("--salt-key", default=None)
+    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from chimp_spark.engine import (
+        detect_hot_keys,
+        encode_and_commit,
+        repartition_balanced,
+        repartition_by_range,
+        repartition_salted,
+    )
+
+    spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
+    df = spark.read.parquet(args.input)
+    parts = args.partitions or spark.sparkContext.defaultParallelism
+
+    if args.salt_key:
+        hot = detect_hot_keys(df, args.salt_key)
+        df = repartition_salted(df, args.salt_key, parts, hot_keys=hot,
+                                salt_buckets=args.salt_buckets)
+    elif args.range_key:
+        df = repartition_by_range(df, args.range_key, parts)
+    else:
+        df = repartition_balanced(df, parts)
+
+    cols = args.columns.split(",") if args.columns else None
+    stats = encode_and_commit(
+        spark, df, args.output, args.table, columns=cols, codec=args.codec,
+        chunk_rows=args.chunk_rows, resume=not args.no_resume,
+    )
+    print(json.dumps({"job": "encode", "table": args.table, **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

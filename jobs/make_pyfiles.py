@@ -1,0 +1,28 @@
+"""Build dist/chimp_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+
+def main() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dist = os.path.join(root, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "chimp_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(root, "chimp_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in filenames:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
