@@ -8,6 +8,7 @@ from .core import (
     get_spark,
 )
 from .manifest import EncodedTable, encode_and_commit
+from .scan import encode_parquet
 from .partitioning import (
     detect_hot_keys,
     repartition_balanced,
@@ -25,6 +26,7 @@ __all__ = [
     "detect_hot_keys",
     "encode_and_commit",
     "encode_dataframe",
+    "encode_parquet",
     "get_spark",
     "repartition_balanced",
     "repartition_by_range",

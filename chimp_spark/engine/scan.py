@@ -1,0 +1,117 @@
+"""Bulk-ingest fast path: encode parquet row groups via direct Arrow
+reads inside the workers.
+
+The generic ``encode_dataframe`` path accepts any Spark plan, but pays
+Spark's InternalRow -> Arrow conversion in mapInArrow — measured at
+~80% of encode wall time for wide tables (the kernels are faster than
+the transfer). For the bulk case "encode this parquet/Iceberg table",
+that conversion is pure overhead: parquet is already columnar.
+
+``encode_parquet`` distributes (file, row_group) work units as a tiny
+DataFrame, and each task reads its row groups straight into Arrow with
+pyarrow.parquet (column pruning pushed down via ``columns=``), then
+runs the same chunk kernels. Task granularity = row group, so a
+1000-executor cluster load-balances a 100 TB table the same way this
+box balances sf0.1. part_id is the work-unit index — stable across
+cluster sizes, so lineage/resume keys don't depend on parallelism.
+
+This is the idiomatic shape of a columnar bulk codec job: Spark
+schedules + retries + commits; Arrow moves the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from .core import DEFAULT_CHUNK_ROWS, ENC_ARROW_SCHEMA, ENC_DDL
+from ..framing import encode_chunk
+
+
+def parquet_work_units(paths: list[str]) -> list[tuple[int, str, int]]:
+    """(unit_id, file, row_group) list for a set of parquet files."""
+    import pyarrow.parquet as pq
+
+    units: list[tuple[int, str, int]] = []
+    uid = 0
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            units.append((uid, path, rg))
+            uid += 1
+    return units
+
+
+def encode_parquet(
+    spark: SparkSession,
+    paths: list[str] | str,
+    columns: list[str] | None = None,
+    codec: str | dict[str, str] = "auto",
+    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+    table_name: str = "t",
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Encoded-chunk DataFrame, reading row groups directly via Arrow."""
+    import glob as _glob
+    import os
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+        else:
+            paths = [paths]
+    units = parquet_work_units(paths)
+    if not units:
+        return spark.createDataFrame([], ENC_DDL)
+    n_slices = num_slices or min(len(units), spark.sparkContext.defaultParallelism * 2)
+    plan = spark.createDataFrame(
+        [(u, p, r) for (u, p, r) in units], "unit int, path string, rg int"
+    ).repartition(n_slices, "unit")
+
+    codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
+
+    def work(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for i in range(b.num_rows):
+                unit = b.column("unit")[i].as_py()
+                path = b.column("path")[i].as_py()
+                rg = b.column("rg")[i].as_py()
+                pf = pq.ParquetFile(path)
+                tbl = pf.read_row_group(rg, columns=columns)
+                chunk_id = 0
+                row_start = 0
+                for off in range(0, max(tbl.num_rows, 1), chunk_rows):
+                    sl = tbl.slice(off, chunk_rows)
+                    if sl.num_rows == 0 and tbl.num_rows > 0:
+                        break
+                    out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
+                    for col in sl.column_names:
+                        arr = sl.column(col).combine_chunks()
+                        t0 = _time.perf_counter_ns()
+                        blob, meta = encode_chunk(arr, codec=codec_of(col))
+                        out["encode_ns"].append(_time.perf_counter_ns() - t0)
+                        out["table"].append(table_name)
+                        out["column"].append(col)
+                        out["part_id"].append(unit)
+                        out["chunk_id"].append(chunk_id)
+                        out["row_start"].append(row_start)
+                        out["n"].append(meta.n)
+                        out["n_valid"].append(meta.n_valid)
+                        out["codec"].append(meta.codec)
+                        out["dtype"].append(meta.dtype)
+                        out["raw_bytes"].append(meta.raw_bytes)
+                        out["enc_bytes"].append(meta.enc_bytes)
+                        out["checksum"].append(meta.checksum)
+                        out["reason"].append(meta.reason)
+                        out["frame"].append(blob)
+                    chunk_id += 1
+                    row_start += sl.num_rows
+                    yield pa.RecordBatch.from_pydict(out, schema=ENC_ARROW_SCHEMA)
+
+    return plan.mapInArrow(work, ENC_DDL)
