@@ -63,21 +63,46 @@ def _timed_encode(engine, F, df, table: str, warm: bool = True):
     return one_pass()
 
 
+def _stage_scaling_input(sf_dir: str) -> str:
+    """Multi-row-group parquet staging file: 147 row-group work units
+    so every core count up to 32 gets balanced waves."""
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq
+
+    staged = "/tmp/bench_lineitem_staged16.parquet"
+    if not os.path.exists(staged):
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet")
+        t = pa_mod.concat_tables([t] * 16)
+        pq.write_table(t, staged, row_group_size=65_536)
+    return staged
+
+
 def _bench_encode_session(cpus: int, sf_dir: str):
+    """Scaling probe: scan-path encode (deterministic file reads, no
+    shuffle/cache variance), median of 3 timed passes after a warm
+    pass. Fixed work-unit count across core counts."""
+    import statistics
+
     from pyspark.sql import functions as F
 
     from chimp_spark import engine
 
+    staged = _stage_scaling_input(sf_dir)
     spark = engine.get_spark(cpus=cpus, app=f"bench{cpus}", chunk_rows=CHUNK)
     try:
-        # FIXED partition count across scaling levels: identical task
-        # sizes, only the core count varies (fair N vs 4N comparison)
-        df = _replicated(spark, sf_dir, "lineitem", REP, FIXED_PARTS)
-        df.count()
-        sec, raw, enc, ns = _timed_encode(engine, F, df, "lineitem")
-        return {"sec": sec, "raw_bytes": raw, "enc_bytes": enc,
-                "gbps": raw / sec / 1e9,
-                "kernel_gbps_per_core_sum": raw / max(ns, 1)}
+        enc = engine.encode_parquet(spark, staged, table_name="lineitem")
+        enc.agg(F.sum("raw_bytes")).collect()  # warm
+        times = []
+        raw = enc_b = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e = engine.encode_parquet(spark, staged, table_name="lineitem")
+            agg = e.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+            times.append(time.perf_counter() - t0)
+            raw, enc_b = agg["r"], agg["e"]
+        sec = statistics.median(times)
+        return {"sec": sec, "times": [round(t, 2) for t in times],
+                "raw_bytes": raw, "enc_bytes": enc_b, "gbps": raw / sec / 1e9}
     finally:
         spark.stop()
 
@@ -202,6 +227,8 @@ def main() -> None:
                 extra["scaling"][f"{n}_to_{n4}"] = {
                     "gbps_n": round(sessions[n]["gbps"], 4),
                     "gbps_4n": round(sessions[n4]["gbps"], 4),
+                    "times_n": sessions[n]["times"],
+                    "times_4n": sessions[n4]["times"],
                     "speedup": round(sp, 3),
                     "efficiency": round(sp / 4, 3),
                 }

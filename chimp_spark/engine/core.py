@@ -159,7 +159,8 @@ def encode_dataframe(
 
 
 def decode_column(
-    encoded: DataFrame, column: str, value_ddl: str, table: str | None = None
+    encoded: DataFrame, column: str, value_ddl: str, table: str | None = None,
+    verify_checksums: bool = False,
 ) -> DataFrame:
     """Decode one column's frames -> (part_id, row_id, value).
 
@@ -171,16 +172,24 @@ def decode_column(
     sel = encoded.filter(F.col("column") == column)
     if table is not None:
         sel = sel.filter(F.col("table") == table)
-    sel = sel.select("part_id", "row_start", "frame")
+    sel = sel.select("part_id", "row_start", "checksum", "frame")
     out_type = _arrow_type_of_ddl(value_ddl)
 
     def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..framing import checksum_of
+
         for b in batches:
             pids = b.column("part_id")
             starts = b.column("row_start")
             frames = b.column("frame")
+            sums = b.column("checksum")
             for i in range(b.num_rows):
-                arr = _cast_to(decode_chunk(frames[i].as_py()), out_type)
+                raw = decode_chunk(frames[i].as_py())
+                if verify_checksums and checksum_of(raw) != sums[i].as_py():
+                    raise ValueError(
+                        f"checksum mismatch: part={pids[i]} row_start={starts[i]}"
+                    )
+                arr = _cast_to(raw, out_type)
                 n = len(arr)
                 rs = starts[i].as_py()
                 yield pa.RecordBatch.from_arrays(
@@ -206,7 +215,10 @@ def _cast_to(arr: pa.Array, t: pa.DataType) -> pa.Array:
     return arr if arr.type == t else arr.cast(t)
 
 
-def decode_table(encoded: DataFrame, columns: list[str], ddl: str) -> DataFrame:
+def decode_table(
+    encoded: DataFrame, columns: list[str], ddl: str,
+    verify_checksums: bool = False,
+) -> DataFrame:
     """Decode several columns back into aligned rows.
 
     Chunks are co-located by (part_id, chunk_id) with one hash shuffle,
@@ -216,7 +228,7 @@ def decode_table(encoded: DataFrame, columns: list[str], ddl: str) -> DataFrame:
     """
     sel = (
         encoded.filter(F.col("column").isin(columns))
-        .select("part_id", "chunk_id", "row_start", "column", "frame")
+        .select("part_id", "chunk_id", "row_start", "column", "checksum", "frame")
         .repartition(F.col("part_id"), F.col("chunk_id"))
         .sortWithinPartitions("part_id", "chunk_id", "column")
     )
@@ -226,13 +238,23 @@ def decode_table(encoded: DataFrame, columns: list[str], ddl: str) -> DataFrame:
     }
 
     def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..framing import checksum_of
+
         group_key: tuple[int, int] | None = None
         group: dict[str, bytes] = {}
+        sums: dict[str, int] = {}
         group_meta: tuple[int, int] = (0, 0)
 
         def emit() -> pa.RecordBatch:
             pid, rs = group_meta
-            arrs = {c: _cast_to(decode_chunk(group[c]), out_types[c]) for c in columns}
+            raws = {c: decode_chunk(group[c]) for c in columns}
+            if verify_checksums:
+                for c, a in raws.items():
+                    if checksum_of(a) != sums[c]:
+                        raise ValueError(
+                            f"checksum mismatch: col={c} part={pid} row_start={rs}"
+                        )
+            arrs = {c: _cast_to(raws[c], out_types[c]) for c in columns}
             n = len(next(iter(arrs.values())))
             cols = [
                 pa.array(np.full(n, pid, dtype=np.int32)),
@@ -248,7 +270,9 @@ def decode_table(encoded: DataFrame, columns: list[str], ddl: str) -> DataFrame:
                     group = {}
                 group_key = key
                 group_meta = (key[0], b.column("row_start")[i].as_py())
-                group[b.column("column")[i].as_py()] = b.column("frame")[i].as_py()
+                col_name = b.column("column")[i].as_py()
+                group[col_name] = b.column("frame")[i].as_py()
+                sums[col_name] = b.column("checksum")[i].as_py()
         if group:
             yield emit()
 

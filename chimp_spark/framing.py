@@ -202,7 +202,7 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
                 codec, reason = choose_codec(vals, dtype)
             payload = _NUM_ENC[codec](vals)
         raw_bytes = n_valid * npdt.itemsize
-        checksum = zlib.crc32(np.ascontiguousarray(vals if dtype != "bool" else vals)) ^ n
+        checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
 
     flags = 1 if has_nulls else 0
     head = MAGIC + struct.pack(
@@ -223,6 +223,25 @@ def _encode_str_payload(codec: str, offs: np.ndarray, data: np.ndarray, dense: p
         doffs, ddata = _string_block(d.dictionary)
         return L.str_dict_encode(offs, data, codes, doffs, ddata, rle=(codec == "dict_rle"))
     return _STR_ENC[codec](offs, data)
+
+
+def checksum_of(arr: pa.Array) -> int:
+    """Recompute the frame checksum of a decoded array (crc32 of the
+    canonical valid-values bytes ^ row count) — the integrity check a
+    decode job can run against the lineage rows."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dtype = dtype_of_arrow(arr.type)
+    n = len(arr)
+    dense = arr.drop_null() if arr.null_count else arr
+    if dtype in ("str", "bin"):
+        _offs, data = _string_block(dense)
+        return zlib.crc32(data) ^ n
+    npdt = _NUMPY_OF[dtype]
+    if pa.types.is_timestamp(dense.type) or pa.types.is_date32(dense.type):
+        dense = dense.cast(pa.int64() if npdt == np.dtype("int64") else pa.int32())
+    vals = np.ascontiguousarray(np.asarray(dense), dtype=npdt)
+    return zlib.crc32(vals) ^ n
 
 
 def decode_chunk(blob: bytes | memoryview, arrow_type: pa.DataType | None = None) -> pa.Array:

@@ -145,3 +145,42 @@ def test_compression_beats_raw_on_real_columns(spark):
     assert by_col["event_id"]["ratio"] > 3  # sorted ids -> delta
     assert by_col["ts"]["ratio"] > 1.5  # jittery timestamps -> delta_bp
     assert by_col["event_type"]["ratio"] > 3  # low-card dict
+
+
+def test_checksum_verification(spark):
+    df = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    enc = engine.encode_dataframe(
+        df, ["p_partkey", "p_name"], chunk_rows=512, table_name="part"
+    ).cache()
+    ok = engine.decode_table(
+        enc, ["p_partkey", "p_name"], "p_partkey long, p_name string",
+        verify_checksums=True,
+    )
+    assert ok.count() == df.count()
+    # corrupt one checksum -> decode must fail loudly
+    bad = enc.withColumn(
+        "checksum", F.when(F.col("chunk_id") == 0, F.col("checksum") + 1).otherwise(F.col("checksum"))
+    )
+    broken = engine.decode_table(
+        bad, ["p_partkey", "p_name"], "p_partkey long, p_name string",
+        verify_checksums=True,
+    )
+    with pytest.raises(Exception, match="checksum mismatch"):
+        broken.count()
+    enc.unpersist()
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """SURVEY §2.6: the reference ingests CSV float columns
+    (main.rs:62-72); the engine composes with spark.read.csv the same
+    as any scan."""
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "value")
+    csv_dir = str(tmp_path / "events_csv")
+    src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    df = spark.read.option("header", True).schema("event_id long, value double").csv(csv_dir)
+    enc = engine.encode_dataframe(df, ["value"], codec="chimp", chunk_rows=2048,
+                                  table_name="events_csv")
+    dec = engine.decode_column(enc, "value", "double")
+    lhs = df.select(F.col("value").alias("v"))
+    rhs = dec.select(F.col("value").alias("v"))
+    assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
