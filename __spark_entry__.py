@@ -17,12 +17,38 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import os
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chimp_spark import engine
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from chimp_spark import engine  # noqa: E402
 
 _CHUNK = 8192
+_SHIPPED: set[int] = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to python workers. The driver may run this
+    module from any cwd with its own session; workers unpickle our
+    Arrow kernels by module reference, so chimp_spark must be
+    importable there — addPyFile handles that for any master."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from jobs.make_pyfiles import main as _mkzip
+
+        spark.sparkContext.addPyFile(_mkzip())
+    except Exception:
+        # fall back to PYTHONPATH inheritance (local mode from repo cwd)
+        pass
+    _SHIPPED.add(key)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -247,6 +273,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: auto-encode lineitem at sf0.001, decode it back, and
     return the per-column compression summary (codec chosen, ratio,
     bits/value) — non-empty with a stable schema."""
+    _ensure_workers(spark)
     sf_dir = "/root/testdata/sf0.001"
     df = _read(spark, sf_dir, "lineitem")
     enc = engine.encode_dataframe(df, codec="auto", chunk_rows=_CHUNK,
@@ -260,6 +287,14 @@ def entry(spark: SparkSession) -> DataFrame:
     mism = src.exceptAll(dec.select("l_orderkey", "l_extendedprice")).count()
     out = summary.withColumn("roundtrip_mismatches", F.lit(mism))
     return out
+
+
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -297,7 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary_lineitem": _compression_summary_q,
         "pages_pipeline_invariant": _pages_invariant,
     }
-    return q
+    return {name: _shipped(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
