@@ -34,6 +34,7 @@ from ..framing import decode_chunk, encode_chunk
 ENC_ARROW_SCHEMA = pa.schema(
     [
         ("table", pa.string()),
+        ("run_id", pa.string()),
         ("column", pa.string()),
         ("part_id", pa.int32()),
         ("chunk_id", pa.int64()),
@@ -51,7 +52,7 @@ ENC_ARROW_SCHEMA = pa.schema(
     ]
 )
 ENC_DDL = (
-    "table string, column string, part_id int, chunk_id long, row_start long, "
+    "table string, run_id string, column string, part_id int, chunk_id long, row_start long, "
     "n long, n_valid long, codec string, dtype string, raw_bytes long, "
     "enc_bytes long, checksum long, encode_ns long, reason string, frame binary"
 )
@@ -99,8 +100,12 @@ def encode_dataframe(
     by the caller *before* this (see partitioning.py), so the encode
     plan composes with whatever layout the table needs.
     """
+    import uuid
+
     cols = columns or df.columns
     src = df.select(*cols)
+    run_id = uuid.uuid4().hex[:12]  # chunk identity discriminator:
+    # (run_id, part_id, chunk_id) stays unique across commits/epochs
 
     codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
     codec_map = {c: codec_of(c) for c in cols}
@@ -122,6 +127,7 @@ def encode_dataframe(
                 blob, meta = encode_chunk(arr, codec=codec_map[col])
                 out["encode_ns"].append(_time.perf_counter_ns() - t0)
                 out["table"].append(table_name)
+                out["run_id"].append(run_id)
                 out["column"].append(col)
                 out["part_id"].append(pid)
                 out["chunk_id"].append(state["chunk_id"])
@@ -228,9 +234,9 @@ def decode_table(
     """
     sel = (
         encoded.filter(F.col("column").isin(columns))
-        .select("part_id", "chunk_id", "row_start", "column", "checksum", "frame")
-        .repartition(F.col("part_id"), F.col("chunk_id"))
-        .sortWithinPartitions("part_id", "chunk_id", "column")
+        .select("run_id", "part_id", "chunk_id", "row_start", "column", "checksum", "frame")
+        .repartition(F.col("run_id"), F.col("part_id"), F.col("chunk_id"))
+        .sortWithinPartitions("run_id", "part_id", "chunk_id", "column")
     )
     out_types = {
         f.split()[0]: _arrow_type_of_ddl(" ".join(f.split()[1:]))
@@ -240,7 +246,7 @@ def decode_table(
     def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..framing import checksum_of
 
-        group_key: tuple[int, int] | None = None
+        group_key: tuple[str, int, int] | None = None
         group: dict[str, bytes] = {}
         sums: dict[str, int] = {}
         group_meta: tuple[int, int] = (0, 0)
@@ -264,12 +270,16 @@ def decode_table(
 
         for b in batches:
             for i in range(b.num_rows):
-                key = (b.column("part_id")[i].as_py(), b.column("chunk_id")[i].as_py())
+                key = (
+                    b.column("run_id")[i].as_py(),
+                    b.column("part_id")[i].as_py(),
+                    b.column("chunk_id")[i].as_py(),
+                )
                 if key != group_key and group:
                     yield emit()
                     group = {}
                 group_key = key
-                group_meta = (key[0], b.column("row_start")[i].as_py())
+                group_meta = (key[1], b.column("row_start")[i].as_py())
                 col_name = b.column("column")[i].as_py()
                 group[col_name] = b.column("frame")[i].as_py()
                 sums[col_name] = b.column("checksum")[i].as_py()

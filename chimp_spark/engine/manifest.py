@@ -74,7 +74,15 @@ class EncodedTable:
 
     # -- commit --------------------------------------------------------------
 
-    def commit(self, spark: SparkSession, encoded: DataFrame, table: str) -> dict:
+    def committed_epochs(self, table: str) -> set[int]:
+        return {
+            e["epoch"]
+            for e in self.manifest_entries()
+            if e.get("table") == table and e.get("epoch") is not None
+        }
+
+    def commit(self, spark: SparkSession, encoded: DataFrame, table: str,
+               epoch: int | None = None) -> dict:
         """Write encoded chunks as per-partition parquet files + new
         snapshot. Returns commit stats."""
         os.makedirs(self.data_dir, exist_ok=True)
@@ -111,6 +119,7 @@ class EncodedTable:
             entries.append(
                 {
                     "table": table,
+                    "epoch": epoch,
                     "part_id": pid,
                     "chunks": s["chunks"],
                     "rows": s["rows"],
@@ -123,7 +132,8 @@ class EncodedTable:
             )
         # data-file level entries for read path
         file_entries = [
-            {"table": table, "part_id": -1, "file": f, "committed": True} for f in files
+            {"table": table, "epoch": epoch, "part_id": -1, "file": f, "committed": True}
+            for f in files
         ]
 
         v = self.current_version()

@@ -62,6 +62,9 @@ def encode_parquet(
             paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
         else:
             paths = [paths]
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
     units = parquet_work_units(paths)
     if not units:
         return spark.createDataFrame([], ENC_DDL)
@@ -97,6 +100,7 @@ def encode_parquet(
                         blob, meta = encode_chunk(arr, codec=codec_of(col))
                         out["encode_ns"].append(_time.perf_counter_ns() - t0)
                         out["table"].append(table_name)
+                        out["run_id"].append(run_id)
                         out["column"].append(col)
                         out["part_id"].append(unit)
                         out["chunk_id"].append(chunk_id)
