@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # auto-selection end-to-end
         "auto_roundtrip_suppkey": _roundtrip("lineitem", "l_suppkey", "auto", "long"),
         "auto_roundtrip_mktsegment": _roundtrip("customer", "c_mktsegment", "auto", "string"),
+        "list_roundtrip_embedding": _roundtrip("embeddings", "embedding", "auto", "array<float>"),
         # aggregation parity over decoded columns
         "q1_pricing_decoded": _q1_decoded,
         # training-data ops
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_bp_roundtrip_shipdate": _oracle_roundtrip("lineitem", "l_shipdate", micros=True),
         "auto_roundtrip_suppkey": _oracle_roundtrip("lineitem", "l_suppkey"),
         "auto_roundtrip_mktsegment": _oracle_roundtrip("customer", "c_mktsegment"),
+        "list_roundtrip_embedding": _oracle_roundtrip("embeddings", "embedding"),
         "q1_pricing_decoded": _Q1_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "

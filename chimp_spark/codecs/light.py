@@ -397,5 +397,6 @@ CODEC_IDS = {
     "fsst": 13,
     "bool_pack": 14,
     "dict_rle": 15,
+    "list_plain": 16,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

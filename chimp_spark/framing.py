@@ -45,6 +45,7 @@ DTYPE_IDS = {
     "f64": 1, "f32": 2, "i64": 3, "i32": 4, "i16": 5, "i8": 6,
     "ts_us": 10, "ts_ns": 11, "date32": 12, "bool": 13,
     "str": 20, "bin": 21,
+    "list_f32": 30, "list_f64": 31, "list_i64": 32, "list_i32": 33,
 }
 DTYPE_NAMES = {v: k for k, v in DTYPE_IDS.items()}
 
@@ -80,6 +81,11 @@ def dtype_of_arrow(t: pa.DataType) -> str:
         return "str"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        inner = dtype_of_arrow(t.value_type)
+        code = f"list_{inner}"
+        if code in DTYPE_IDS:
+            return code
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -90,7 +96,22 @@ def arrow_of_dtype(code: str, tz=None) -> pa.DataType:
         "ts_us": pa.timestamp("us", tz), "ts_ns": pa.timestamp("ns", tz),
         "date32": pa.date32(), "bool": pa.bool_(),
         "str": pa.string(), "bin": pa.binary(),
+        "list_f32": pa.list_(pa.float32()), "list_f64": pa.list_(pa.float64()),
+        "list_i64": pa.list_(pa.int64()), "list_i32": pa.list_(pa.int32()),
     }[code]
+
+
+def _list_block(arr: pa.Array, npdt: np.dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths, flat values) of a no-null list<numeric> array."""
+    if pa.types.is_fixed_size_list(arr.type) or pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    child = np.asarray(arr.values, dtype=npdt)
+    lo = int(offs[0]) if offs.size else 0
+    hi = int(offs[-1]) if offs.size else 0
+    return np.diff(offs), child[lo:hi]
 
 
 def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -185,6 +206,16 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
         if codec == "auto":
             codec, reason = choose_codec_str(offs, data)
         payload = _encode_str_payload(codec, offs, data, dense)
+    elif dtype.startswith("list_"):
+        # embedding-style list<numeric>: lengths FOR-bitpacked + flat
+        # values plain (random embeddings don't compress; the win is
+        # typed framing + lineage + null handling at scale)
+        lens, vals = _list_block(dense, _NUMPY_OF[dtype[5:]])
+        codec = "list_plain"
+        raw_bytes = int(vals.nbytes) + 4 * n
+        checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
+        lens_blob = L.for_bitpack_encode(lens) if lens.size else b""
+        payload = struct.pack("<I", len(lens_blob)) + lens_blob + vals.tobytes()
     else:
         npdt = _NUMPY_OF[dtype]
         if dtype == "bool":
@@ -237,6 +268,9 @@ def checksum_of(arr: pa.Array) -> int:
     if dtype in ("str", "bin"):
         _offs, data = _string_block(dense)
         return zlib.crc32(data) ^ n
+    if dtype.startswith("list_"):
+        _lens, vals = _list_block(dense, _NUMPY_OF[dtype[5:]])
+        return zlib.crc32(np.ascontiguousarray(vals)) ^ n
     npdt = _NUMPY_OF[dtype]
     if pa.types.is_timestamp(dense.type) or pa.types.is_date32(dense.type):
         dense = dense.cast(pa.int64() if npdt == np.dtype("int64") else pa.int32())
@@ -269,6 +303,16 @@ def decode_chunk(blob: bytes | memoryview, arrow_type: pa.DataType | None = None
     if dtype in ("str", "bin"):
         offs, data = _STR_DEC[codec](payload, n_valid)
         return _build_string_array(arrow_type, n, valid, offs, data)
+    if dtype.startswith("list_"):
+        npdt = _NUMPY_OF[dtype[5:]]
+        lens_sz = struct.unpack_from("<I", payload, 0)[0]
+        lens = (
+            L.for_bitpack_decode(payload[4 : 4 + lens_sz], n_valid, np.int64)
+            if n_valid
+            else np.zeros(0, dtype=np.int64)
+        )
+        vals = np.frombuffer(payload[4 + lens_sz :], dtype=npdt)
+        return _build_list_array(arrow_type, n, valid, lens, vals)
     if dtype == "bool":
         vals = np.unpackbits(
             np.frombuffer(payload, dtype=np.uint8), bitorder="little", count=n_valid
@@ -312,6 +356,24 @@ def _build_string_array(
     return pa.Array.from_buffers(
         t, n,
         [validity_buf, pa.py_buffer(off32.tobytes()), pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+    )
+
+
+def _build_list_array(
+    t: pa.DataType, n: int, valid: np.ndarray | None, lens: np.ndarray, vals: np.ndarray
+) -> pa.Array:
+    if valid is None:
+        full_lens = lens
+        validity_buf = None
+    else:
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lens
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(full_lens, out=offs[1:])
+    child = pa.array(vals, type=t.value_type)
+    return pa.Array.from_buffers(
+        t, n, [validity_buf, pa.py_buffer(offs.tobytes())], children=[child]
     )
 
 

@@ -190,3 +190,25 @@ def test_frame_explicit_float_codecs(codec):
     out = framing.decode_chunk(blob, arr.type)
     assert out.equals(arr)
     assert meta.codec == codec
+
+
+def test_frame_list_float32():
+    emb = pa.array(
+        [[1.5, -2.25, 3.0], [], [0.5] * 5, None, [float("nan"), 1.0]],
+        type=pa.list_(pa.float32()),
+    )
+    blob, meta = framing.encode_chunk(emb, codec="auto")
+    out = framing.decode_chunk(blob, emb.type)
+    assert meta.codec == "list_plain" and meta.dtype == "list_f32"
+    assert out.is_valid().equals(emb.is_valid())
+    a = np.asarray(out.drop_null().values, dtype=np.float32).view(np.uint32)
+    b = np.asarray(emb.drop_null().values, dtype=np.float32).view(np.uint32)
+    np.testing.assert_array_equal(a, b)
+    assert framing.checksum_of(out) == meta.checksum
+
+
+def test_frame_list_i64():
+    arr = pa.array([[1, 2], [3], [], [4, 5, 6]], type=pa.list_(pa.int64()))
+    blob, meta = framing.encode_chunk(arr)
+    out = framing.decode_chunk(blob, arr.type)
+    assert out.equals(arr)
