@@ -1,0 +1,289 @@
+"""Optional C fast paths for the strictly-sequential inner loops.
+
+The engine's own formats decode fully vectorized (xor_split, dict,
+RLE, FOR, delta). The *reference* bit formats, however, are
+sequentially self-delimiting (each record's width depends on its
+header — chimp.rs:242-270), and FSST's greedy longest-match walks
+byte-by-byte. Those two loops are the only places numpy can't help,
+so they get a ~60-line C implementation compiled on first use with
+the system toolchain and loaded via ctypes.
+
+Pure-Python fallbacks remain the reference implementations: if no C
+compiler is present (or CHIMP_SPARK_NO_NATIVE=1), everything still
+works and the test suite exercises both paths for equality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = r"""
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+static inline uint64_t rd(const uint64_t* w, long pos, int nb) {
+    long i = pos >> 6; int s = 64 - (int)(pos & 63);
+    uint64_t mask = (nb >= 64) ? ~0ULL : ((1ULL << nb) - 1);
+    if (nb <= s) return (w[i] >> (s - nb)) & mask;
+    int rest = nb - s;
+    return (((w[i] & ((1ULL << s) - 1)) << rest) | (w[i+1] >> (64 - rest))) & mask;
+}
+
+static const int LD[8] = {0,8,12,16,18,20,22,24};
+#define NANSENT 0x7ff8000000000000ULL
+
+long chimp_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, int sentinel) {
+    long end = nwords << 6;
+    if (end < 64 || max_out < 1) return -1;
+    uint64_t curr = rd(w, 0, 64);
+    long pos = 64, cnt = 0;
+    int lead = 0;
+    out[cnt++] = curr;
+    while (cnt < max_out) {
+        if (pos + 2 > end) { if (sentinel) return cnt; return -1; }
+        int flag = (int)rd(w, pos, 2); pos += 2;
+        if (flag == 1) {
+            if (pos + 9 > end) { if (sentinel) return cnt; return -1; }
+            int tmp = (int)rd(w, pos, 9); pos += 9;
+            lead = LD[tmp >> 6];
+            int center = tmp & 63; if (!center) center = 64;
+            int trail = 64 - center - lead;
+            if (pos + center > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, center) << trail; pos += center;
+        } else if (flag == 2) {
+            int c = 64 - lead;
+            if (pos + c > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, c); pos += c;
+        } else if (flag == 3) {
+            if (pos + 3 > end) { if (sentinel) return cnt; return -1; }
+            lead = LD[rd(w, pos, 3)]; pos += 3;
+            int c = 64 - lead;
+            if (pos + c > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, c); pos += c;
+        }
+        if (sentinel && curr == NANSENT) return cnt;
+        out[cnt++] = curr;
+    }
+    return cnt;
+}
+
+long chimpn_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, int sentinel) {
+    long end = nwords << 6;
+    if (end < 64 || max_out < 1) return -1;
+    uint64_t ring[128];
+    for (int i = 0; i < 128; i++) ring[i] = (uint64_t)i;
+    uint64_t curr = rd(w, 0, 64);
+    ring[0] = curr;
+    int ci = 0, lead = 0;
+    long pos = 64, cnt = 0;
+    out[cnt++] = curr;
+    while (cnt < max_out) {
+        if (pos + 2 > end) { if (sentinel) return cnt; return -1; }
+        int flag = (int)rd(w, pos, 2); pos += 2;
+        if (flag == 1) {
+            if (pos + 16 > end) { if (sentinel) return cnt; return -1; }
+            int tmp = (int)rd(w, pos, 16); pos += 16;
+            int center = tmp & 63;
+            lead = LD[(tmp >> 6) & 7];
+            curr = ring[(tmp >> 9) & 127];
+            if (!center) center = 64;
+            if (pos + center > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, center) << (64 - center - lead); pos += center;
+        } else if (flag == 2) {
+            int c = 64 - lead;
+            if (pos + c > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, c); pos += c;
+        } else if (flag == 3) {
+            if (pos + 3 > end) { if (sentinel) return cnt; return -1; }
+            lead = LD[rd(w, pos, 3)]; pos += 3;
+            int c = 64 - lead;
+            if (pos + c > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, c); pos += c;
+        } else {
+            if (pos + 7 > end) { if (sentinel) return cnt; return -1; }
+            curr = ring[rd(w, pos, 7)]; pos += 7;
+        }
+        ci = (ci + 1) & 127;
+        ring[ci] = curr;
+        if (sentinel && curr == NANSENT) return cnt;
+        out[cnt++] = curr;
+    }
+    return cnt;
+}
+
+long patas_dec(const uint8_t* buf, long nbytes, uint64_t* out, long max_out, int sentinel) {
+    if (nbytes < 8 || max_out < 1) return -1;
+    uint64_t ring[128];
+    for (int i = 0; i < 128; i++) ring[i] = (uint64_t)i;
+    uint64_t curr = 0;
+    for (int i = 0; i < 8; i++) curr = (curr << 8) | buf[i];
+    ring[0] = curr;
+    int ci = 0;
+    long p = 8, cnt = 0;
+    out[cnt++] = curr;
+    while (cnt < max_out) {
+        if (p + 2 > nbytes) { if (sentinel) return cnt; return -1; }
+        int meta = (buf[p] << 8) | buf[p+1];
+        if (sentinel && meta == 0xffff) return cnt;
+        p += 2;
+        int trail = meta & 0x3f;
+        int sig = ((meta >> 6) & 7) + 1;
+        if (sig == 1 && trail == 0) {
+            curr = ring[meta >> 9];
+        } else {
+            if (p + sig > nbytes) { if (sentinel) return cnt; return -1; }
+            uint64_t pay = 0;
+            for (int i = 0; i < sig; i++) pay = (pay << 8) | buf[p + i];
+            p += sig;
+            curr = ring[meta >> 9] ^ (pay << trail);
+        }
+        ci = (ci + 1) & 127;
+        ring[ci] = curr;
+        out[cnt++] = curr;
+    }
+    return cnt;
+}
+
+long gorilla_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, int sentinel) {
+    long end = nwords << 6;
+    if (end < 64 || max_out < 1) return -1;
+    uint64_t curr = rd(w, 0, 64);
+    long pos = 64, cnt = 0;
+    int lead = 0, trail = 0;
+    out[cnt++] = curr;
+    while (cnt < max_out) {
+        if (pos + 1 > end) { if (sentinel) return cnt; return -1; }
+        int b = (int)rd(w, pos, 1); pos += 1;
+        if (b) {
+            if (pos + 1 > end) { if (sentinel) return cnt; return -1; }
+            int b2 = (int)rd(w, pos, 1); pos += 1;
+            if (b2) {
+                if (pos + 11 > end) { if (sentinel) return cnt; return -1; }
+                int hdr = (int)rd(w, pos, 11); pos += 11;
+                lead = hdr >> 6;
+                int center = (hdr & 63) + 1;
+                trail = 64 - lead - center;
+            }
+            int center = 64 - lead - trail;
+            if (pos + center > end) { if (sentinel) return cnt; return -1; }
+            curr ^= rd(w, pos, center) << trail; pos += center;
+        }
+        if (sentinel && curr == NANSENT) return cnt;
+        out[cnt++] = curr;
+    }
+    return cnt;
+}
+
+/* FSST greedy longest-match compressor over a block of strings.
+   syms: n_syms * 8 bytes (padded); lens: per-symbol length 1..8.
+   str_offs: n_strings+1 offsets into data. out must hold 2*data_len.
+   out_lens: per-string compressed lengths. returns total out bytes. */
+long fsst_compress_block(
+    const uint8_t* data, const int64_t* str_offs, long n_strings,
+    const uint8_t* syms, const int32_t* lens, int n_syms,
+    uint8_t* out, int64_t* out_lens)
+{
+    /* index symbols by first byte, longest first (stable) */
+    int16_t head[256]; int16_t nxt[256];
+    for (int i = 0; i < 256; i++) head[i] = -1;
+    /* build chains: iterate symbols in ascending length so that the
+       final chain order is descending length */
+    for (int pass_len = 1; pass_len <= 8; pass_len++) {
+        for (int s = n_syms - 1; s >= 0; s--) {
+            if (lens[s] != pass_len) continue;
+            int fb = syms[s * 8];
+            nxt[s] = head[fb];
+            head[fb] = (int16_t)s;
+        }
+    }
+    long op = 0;
+    for (long si = 0; si < n_strings; si++) {
+        long p = str_offs[si], e = str_offs[si + 1];
+        long start = op;
+        while (p < e) {
+            int fb = data[p];
+            long rem = e - p;
+            int matched = -1;
+            for (int16_t s = head[fb]; s >= 0; s = nxt[s]) {
+                int L = lens[s];
+                if (L <= rem && memcmp(data + p, syms + s * 8, L) == 0) {
+                    matched = s; break;
+                }
+            }
+            if (matched >= 0) {
+                out[op++] = (uint8_t)matched;
+                p += lens[matched];
+            } else {
+                out[op++] = 255;
+                out[op++] = data[p++];
+            }
+        }
+        out_lens[si] = op - start;
+    }
+    return op;
+}
+"""
+
+_FUNCS: dict | None = None
+
+
+def _build() -> dict | None:
+    if os.environ.get("CHIMP_SPARK_NO_NATIVE"):
+        return None
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(), f"chimp_spark_kernels_{tag}.so")
+    if not os.path.exists(so_path):
+        cdir = tempfile.mkdtemp(prefix="chimp_spark_build_")
+        cfile = os.path.join(cdir, "kernels.c")
+        with open(cfile, "w") as f:
+            f.write(_SRC)
+        tmp_so = os.path.join(cdir, "kernels.so")
+        try:
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", tmp_so, cfile],
+                check=True, capture_output=True, timeout=60,
+            )
+            os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+    import numpy as np
+
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+    for name in ("chimp_dec", "chimpn_dec", "gorilla_dec"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [u64p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
+    lib.patas_dec.restype = ctypes.c_long
+    lib.patas_dec.argtypes = [u8p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
+    lib.fsst_compress_block.restype = ctypes.c_long
+    lib.fsst_compress_block.argtypes = [
+        u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
+    ]
+    return {
+        "chimp_dec": lib.chimp_dec,
+        "chimpn_dec": lib.chimpn_dec,
+        "gorilla_dec": lib.gorilla_dec,
+        "patas_dec": lib.patas_dec,
+        "fsst_compress_block": lib.fsst_compress_block,
+    }
+
+
+def get() -> dict | None:
+    global _FUNCS
+    if _FUNCS is None:
+        _FUNCS = _build() or {}
+    return _FUNCS or None

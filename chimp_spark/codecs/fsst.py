@@ -127,6 +127,25 @@ def compress_strings(
 ) -> tuple[np.ndarray, bytes]:
     """Compress each string independently (no cross-boundary symbols).
     Returns (code lengths per string, concatenated code bytes)."""
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None and symbols:
+        n_str = offsets.size - 1
+        syms_mat = np.zeros((max(len(symbols), 1), 8), dtype=np.uint8)
+        lens32 = np.zeros(max(len(symbols), 1), dtype=np.int32)
+        for i, sym in enumerate(symbols):
+            syms_mat[i, : len(sym)] = np.frombuffer(sym, dtype=np.uint8)
+            lens32[i] = len(sym)
+        data_c = np.ascontiguousarray(data, dtype=np.uint8)
+        offs_c = np.ascontiguousarray(offsets, dtype=np.int64)
+        out = np.empty(2 * max(int(data.size), 1), dtype=np.uint8)
+        out_lens = np.empty(max(n_str, 1), dtype=np.int64)
+        total = nat["fsst_compress_block"](
+            data_c, offs_c, n_str, syms_mat.ravel(), lens32, len(symbols), out, out_lens
+        )
+        return out_lens[:n_str], out[:total].tobytes()
+
     pattern, code_of = _compile(symbols)
     raw = data.tobytes()
     off = offsets.tolist()

@@ -42,6 +42,19 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitio import BitReader, pack_bits, scatter_bits, unpack_fields
+from .. import _native
+
+
+def _native_words_decode(fn, words: np.ndarray, n_values, sentinel) -> np.ndarray:
+    if n_values is not None and n_values == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = np.ascontiguousarray(words, dtype=np.uint64)
+    max_out = n_values if n_values is not None else (w.size * 64) // 2 + 2
+    out = np.empty(max(max_out, 1), dtype=np.uint64)
+    cnt = fn(w, w.size, out, max_out, 1 if sentinel else 0)
+    if cnt < 0 or (n_values is not None and cnt != n_values):
+        raise EOFError("stream truncated")
+    return out[:cnt]
 
 # NaN sentinel terminator, lib.rs:12
 NAN_SENTINEL = np.uint64(0x7FF8000000000000)
@@ -248,6 +261,9 @@ def chimp_decode(
     """
     if (n_values is None) == (not sentinel):
         raise ValueError("exactly one of n_values / sentinel required")
+    nat = _native.get()
+    if nat is not None:
+        return _native_words_decode(nat["chimp_dec"], words, n_values, sentinel)
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
     wl = words.tolist()
@@ -408,6 +424,9 @@ def gorilla_decode(
     """Decode Gorilla (gorilla.rs:110-130): header scan + prefix-XOR."""
     if (n_values is None) == (not sentinel):
         raise ValueError("exactly one of n_values / sentinel required")
+    nat = _native.get()
+    if nat is not None:
+        return _native_words_decode(nat["gorilla_dec"], words, n_values, sentinel)
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
     wl = words.tolist()
@@ -583,43 +602,68 @@ def chimpn_decode(
     *decoded* values is loop-carried through explicit stream indices."""
     if (n_values is None) == (not sentinel):
         raise ValueError("exactly one of n_values / sentinel required")
+    nat = _native.get()
+    if nat is not None:
+        return _native_words_decode(nat["chimpn_dec"], words, n_values, sentinel)
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
-    r = BitReader(words)
-    LEAD_DEC = LEADING_REPR_DEC.tolist()
-    first = r.read_bits(64)
+    wl = words.tolist()
+    end = len(wl) << 6
+    if end < 64:
+        raise EOFError("stream too short")
+
+    def rd(pos: int, nb: int) -> int:
+        w = pos >> 6
+        s = 64 - (pos & 63)
+        if nb <= s:
+            return (wl[w] >> (s - nb)) & ((1 << nb) - 1)
+        rest = nb - s
+        return ((wl[w] & ((1 << s) - 1)) << rest) | (wl[w + 1] >> (64 - rest))
+
+    LD = LEADING_REPR_DEC.tolist()
+    first = rd(0, 64)
+    pos = 64
     out = [first]
     ring = list(range(128))  # decoder init, chimpn.rs:178
     ring[0] = first
-    curr_idx = 0
+    ci = 0
     curr = first
-    lead_state = 0
+    lead = 0
+    nan = int(NAN_SENTINEL)
     limit = n_values if n_values is not None else 1 << 62
     while len(out) < limit:
-        if sentinel and r.remaining_bits() < 2:
-            break
-        flag = r.read_bits(2)
+        if pos + 2 > end:
+            if sentinel:
+                break
+            raise EOFError("chimpn stream truncated")
+        flag = rd(pos, 2)
+        pos += 2
         if flag == 1:
-            tmp = r.read_bits(16)
+            tmp = rd(pos, 16)
+            pos += 16
             center = tmp & 0x3F
-            lead_state = LEAD_DEC[(tmp >> 6) & 7]
-            idx = (tmp >> 9) & 127
-            curr = ring[idx]
+            lead = LD[(tmp >> 6) & 7]
+            curr = ring[(tmp >> 9) & 127]
             if center == 0:
                 center = 64
-            trail = 64 - center - lead_state
-            curr ^= r.read_bits(center) << trail
+            curr ^= rd(pos, center) << (64 - center - lead)
+            pos += center
         elif flag == 2:
-            curr ^= r.read_bits(64 - lead_state)
+            c = 64 - lead
+            curr ^= rd(pos, c)
+            pos += c
         elif flag == 3:
-            lead_state = LEAD_DEC[r.read_bits(3)]
-            curr ^= r.read_bits(64 - lead_state)
+            lead = LD[rd(pos, 3)]
+            pos += 3
+            c = 64 - lead
+            curr ^= rd(pos, c)
+            pos += c
         else:
-            idx = r.read_bits(7)
-            curr = ring[idx]
-        curr_idx = (curr_idx + 1) & 127
-        ring[curr_idx] = curr
-        if sentinel and curr == int(NAN_SENTINEL):
+            curr = ring[rd(pos, 7)]
+            pos += 7
+        ci = (ci + 1) & 127
+        ring[ci] = curr
+        if sentinel and curr == nan:
             break
         out.append(curr)
     return np.array(out, dtype=np.uint64)
@@ -713,29 +757,48 @@ def patas_decode(
     """
     if (n_values is None) == (not sentinel):
         raise ValueError("exactly one of n_values / sentinel required")
+    nat = _native.get()
+    if nat is not None:
+        if n_values is not None and n_values == 0:
+            return np.zeros(0, dtype=np.uint64)
+        buf8 = np.frombuffer(words.astype(">u8").tobytes(), dtype=np.uint8)
+        max_out = n_values if n_values is not None else (buf8.size - 8) // 2 + 2
+        out = np.empty(max(max_out, 1), dtype=np.uint64)
+        cnt = nat["patas_dec"](buf8, buf8.size, out, max_out, 1 if sentinel else 0)
+        if cnt < 0 or (n_values is not None and cnt != n_values):
+            raise EOFError("patas stream truncated")
+        return out[:cnt]
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
-    r = BitReader(words)
-    first = r.read_bits(64)
+    # the Patas stream is byte-aligned throughout (64-bit first value,
+    # 16-bit metadata, whole-byte payloads — aligned.rs:65-73), so
+    # decode walks a plain byte string: ~5x faster than a bit cursor
+    buf = words.astype(">u8").tobytes()
+    nbytes = len(buf)
+    first = int.from_bytes(buf[:8], "big")
     out = [first]
     ring = list(range(128))
     ring[0] = first
-    curr_idx = 0
+    ci = 0
+    p = 8
     limit = n_values if n_values is not None else 1 << 62
     while len(out) < limit:
-        if sentinel and r.remaining_bits() < 16:
-            break
-        meta = r.read_bits(16)
+        if p + 2 > nbytes:
+            if sentinel:
+                break
+            raise EOFError("patas stream truncated")
+        meta = (buf[p] << 8) | buf[p + 1]
         if sentinel and meta == 0xFFFF:
             break
-        idx = meta >> 9
-        sig_bytes = ((meta >> 6) & 7) + 1
+        p += 2
         trail = meta & 0x3F
+        sig_bytes = ((meta >> 6) & 7) + 1
         if sig_bytes == 1 and trail == 0:
-            curr = ring[idx]  # identical value (aligned.rs:163-165)
+            curr = ring[meta >> 9]  # identical value (aligned.rs:163-165)
         else:
-            curr = ring[idx] ^ (r.read_bits(sig_bytes * 8) << trail)
-        curr_idx = (curr_idx + 1) & 127
-        ring[curr_idx] = curr
+            curr = ring[meta >> 9] ^ (int.from_bytes(buf[p : p + sig_bytes], "big") << trail)
+            p += sig_bytes
+        ci = (ci + 1) & 127
+        ring[ci] = curr
         out.append(curr)
     return np.array(out, dtype=np.uint64)

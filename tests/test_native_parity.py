@@ -1,0 +1,63 @@
+"""The C fast paths must be byte/bit-identical to the pure-Python
+reference implementations (which remain the fallback)."""
+
+import numpy as np
+import pytest
+
+import chimp_spark._native as native_mod
+from chimp_spark.codecs import fsst
+from chimp_spark.codecs import xor_ref as X
+
+pytestmark = pytest.mark.skipif(native_mod.get() is None, reason="no C toolchain")
+
+
+@pytest.fixture()
+def no_native(monkeypatch):
+    monkeypatch.setattr(native_mod, "_FUNCS", {})
+    yield
+    monkeypatch.setattr(native_mod, "_FUNCS", None)
+
+
+def _data():
+    rng = np.random.default_rng(3)
+    walk = (48.0 + np.cumsum(rng.normal(0, 0.2, 50_000))).view(np.uint64)
+    uni = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+    runs = np.repeat(rng.integers(0, 2**64, 100, dtype=np.uint64), 500)
+    return {"walk": walk, "uniform": uni, "runs": runs}
+
+
+@pytest.mark.parametrize("codec", ["chimp", "chimpn", "gorilla", "patas"])
+def test_decode_native_equals_python(codec, no_native, monkeypatch):
+    enc = getattr(X, f"{codec}_encode")
+    dec = getattr(X, f"{codec}_decode")
+    for name, bits in _data().items():
+        words, _ = enc(bits)
+        py = dec(words, n_values=bits.size)  # native disabled by fixture
+        monkeypatch.setattr(native_mod, "_FUNCS", None)  # re-enable
+        nat = dec(words, n_values=bits.size)
+        monkeypatch.setattr(native_mod, "_FUNCS", {})  # disable again
+        np.testing.assert_array_equal(py, nat, err_msg=f"{codec}/{name}")
+        np.testing.assert_array_equal(nat, bits)
+
+
+def test_fsst_native_equals_python(no_native, monkeypatch):
+    rng = np.random.default_rng(5)
+    vocab = "the of and web page data crawl index search content \xff weird".split()
+    strings = [(" ".join(rng.choice(vocab, rng.integers(0, 30)))).encode() for _ in range(2000)]
+    strings += [b"", b"\xff" * 9, bytes(range(256))]
+    data = b"".join(strings)
+    offs = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offs[1:])
+    d = np.frombuffer(data, dtype=np.uint8)
+    sample = strings[:300]
+    symbols = fsst.train(sample)
+    py_lens, py_codes = fsst.compress_strings(offs, d, symbols)  # python path
+    monkeypatch.setattr(native_mod, "_FUNCS", None)
+    nat_lens, nat_codes = fsst.compress_strings(offs, d, symbols)
+    np.testing.assert_array_equal(py_lens, nat_lens)
+    assert py_codes == nat_codes
+    # and the full frame round-trips
+    blob = fsst.encode(offs, d)
+    o2, d2 = fsst.decode(memoryview(blob))
+    assert d2.tobytes() == data
+    np.testing.assert_array_equal(o2, offs)
