@@ -1,0 +1,85 @@
+"""Physical-plan assertions: the things that must hold at 100 TB.
+
+- encode is a narrow map: no Exchange in the plan (partitioning policy
+  is applied upstream, once).
+- column pruning reaches the parquet scan: encoding 2 of 11 columns
+  must not read the other 9.
+- reading an encoded table back prunes/pushes down on the lineage
+  columns (table/column filters reach the parquet scan of frames).
+- decode_table has exactly one Exchange (the (run,part,chunk)
+  co-location shuffle) and it carries only frame rows, not values.
+"""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from chimp_spark import engine
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.get_spark(cpus=4, app="plan_tests", chunk_rows=4096)
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_encode_plan_is_narrow(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    enc = engine.encode_dataframe(df, ["l_orderkey", "l_extendedprice"], table_name="t")
+    plan = _formatted(enc)
+    assert "Exchange" not in plan  # no shuffle anywhere in encode
+
+
+def test_encode_prunes_scan_columns(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    enc = engine.encode_dataframe(df, ["l_orderkey", "l_extendedprice"], table_name="t")
+    plan = _formatted(enc)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_orderkey", "l_extendedprice"}, read_cols
+
+
+def test_encoded_table_read_pushdown(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").repartition(2)
+    root = str(tmp_path / "enc")
+    engine.encode_and_commit(spark, df, root, "orders", chunk_rows=2048)
+    enc = engine.EncodedTable(root).read(spark)
+    one = enc.filter((F.col("table") == "orders") & (F.col("column") == "o_orderkey"))
+    plan = _formatted(one)
+    assert "PushedFilters" in plan
+    assert "o_orderkey" in plan  # the column filter reached the scan
+
+
+def test_decode_table_single_exchange(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    enc = engine.encode_dataframe(df, ["o_orderkey", "o_totalprice"], table_name="o")
+    dec = engine.decode_table(enc, ["o_orderkey", "o_totalprice"],
+                              "o_orderkey long, o_totalprice double")
+    plan = _formatted(dec)
+    # formatted output lists each operator twice (tree + detail):
+    # count operator ids
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # chunk co-location only
+
+
+def test_decode_column_is_narrow(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    enc = engine.encode_dataframe(df, ["o_totalprice"], table_name="o")
+    dec = engine.decode_column(enc, "o_totalprice", "double")
+    plan = _formatted(dec)
+    assert "Exchange" not in plan
