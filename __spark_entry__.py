@@ -119,6 +119,42 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q3_join_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two DECODED tables (orders x lineitem on orderkey): proves
+    decoded outputs participate in shuffled joins like any DataFrame.
+    Exact aggregates only (count/min/max) for cross-engine parity."""
+    li = _read(spark, sf_dir, "lineitem")
+    od = _read(spark, sf_dir, "orders")
+    enc_li = engine.encode_dataframe(
+        li, ["l_orderkey", "l_extendedprice"], codec="auto", chunk_rows=_CHUNK,
+        table_name="lineitem",
+    )
+    enc_od = engine.encode_dataframe(
+        od, ["o_orderkey", "o_orderpriority"], codec="auto", chunk_rows=_CHUNK,
+        table_name="orders",
+    )
+    dli = engine.decode_table(enc_li, ["l_orderkey", "l_extendedprice"],
+                              "l_orderkey long, l_extendedprice double")
+    dod = engine.decode_table(enc_od, ["o_orderkey", "o_orderpriority"],
+                              "o_orderkey long, o_orderpriority string")
+    j = dli.join(dod, dli.l_orderkey == dod.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def _minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via shingle -> MinHash -> LSH bands -> bucket
     join -> exact-Jaccard verify; oracle recomputes the same pairs by
@@ -321,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_roundtrip_embedding": _roundtrip("embeddings", "embedding", "auto", "array<float>"),
         # aggregation parity over decoded columns
         "q1_pricing_decoded": _q1_decoded,
+        "q3_join_decoded": _q3_join_decoded,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "minhash_dedup_documents": _minhash_dedup,
@@ -356,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_roundtrip_mktsegment": _oracle_roundtrip("customer", "c_mktsegment"),
         "list_roundtrip_embedding": _oracle_roundtrip("embeddings", "embedding"),
         "q1_pricing_decoded": _Q1_ORACLE,
+        "q3_join_decoded": _Q3_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"

@@ -184,3 +184,33 @@ def test_csv_source_roundtrip(spark, tmp_path):
     lhs = df.select(F.col("value").alias("v"))
     rhs = dec.select(F.col("value").alias("v"))
     assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
+
+
+def test_resume_after_partial_failure(spark, tmp_path):
+    """Crash-resume: a first run commits only some partitions (simulated
+    by filtering); the rerun encodes exactly the remainder and the
+    union decodes to the full table."""
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(6).cache()
+    df.count()
+    root = str(tmp_path / "enc_cust")
+
+    work = df.withColumn("__part_id", F.spark_partition_id())
+    partial = work.filter(F.col("__part_id") < 3).drop("__part_id")
+    enc = engine.encode_dataframe(partial, ["c_custkey", "c_name"], chunk_rows=512,
+                                  table_name="customer")
+    t = engine.EncodedTable(root)
+    t.commit(spark, enc, "customer")
+    assert t.completed_part_ids("customer") == {0, 1, 2}
+
+    stats = engine.encode_and_commit(
+        spark, df, root, "customer", columns=["c_custkey", "c_name"],
+        chunk_rows=512, resume=True,
+    )
+    assert stats["partitions"] == 3  # only the missing partitions ran
+
+    enc_all = engine.EncodedTable(root).read(spark)
+    dec = engine.decode_table(enc_all, ["c_custkey", "c_name"],
+                              "c_custkey long, c_name string")
+    lhs = df.select("c_custkey", "c_name")
+    assert lhs.exceptAll(dec.select("c_custkey", "c_name")).isEmpty()
+    assert dec.count() == df.count()
