@@ -179,6 +179,72 @@ long gorilla_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, in
     return cnt;
 }
 
+/* xor_split (the engine's own split-stream float codec): control
+   byte = sig_bytes(5 bits)<<3 | trail_bytes(3 bits); payload bytes
+   little-endian. Same format as the numpy kernels. */
+long xs_enc(const uint64_t* bits, long n, uint8_t* ctrl, uint8_t* payload) {
+    if (n < 2) return 0;
+    uint64_t prev = bits[0];
+    long op = 0;
+    for (long i = 1; i < n; i++) {
+        uint64_t x = bits[i] ^ prev;
+        prev = bits[i];
+        if (!x) { ctrl[i-1] = 7; continue; }  /* s=0, tz=7: canonical zero-xor control */
+        int tz = __builtin_ctzll(x) >> 3; if (tz > 7) tz = 7;
+        int lead = __builtin_clzll(x);
+        int sig_bits = 64 - lead - (tz << 3);
+        int s = (sig_bits + 7) >> 3;
+        ctrl[i-1] = (uint8_t)((s << 3) | tz);
+        uint64_t v = x >> (tz << 3);
+        for (int b = 0; b < s; b++) { payload[op++] = (uint8_t)v; v >>= 8; }
+    }
+    return op;
+}
+
+long xs_dec(const uint8_t* ctrl, long m, const uint8_t* payload, uint64_t first, uint64_t* out) {
+    out[0] = first;
+    uint64_t curr = first;
+    long p = 0;
+    for (long i = 0; i < m; i++) {
+        int c = ctrl[i]; int s = c >> 3; int tz = c & 7;
+        uint64_t v = 0;
+        for (int b = s - 1; b >= 0; b--) v = (v << 8) | payload[p + b];
+        p += s;
+        curr ^= v << (tz << 3);
+        out[i + 1] = curr;
+    }
+    return p;
+}
+
+/* Sequential MSB-first bit packer for precomputed (header, payload)
+   field arrays — the pack stage of the XOR-family encoders. The bit
+   plan stays numpy-vectorized; this replaces only the final scatter. */
+long pack_hdr_pay(
+    uint64_t first, const uint64_t* hv, const int64_t* hw,
+    const uint64_t* pv, const int64_t* pw, long m, uint64_t* out)
+{
+    out[0] = first;
+    long pos = 64;
+    for (long i = 0; i < m; i++) {
+        for (int k = 0; k < 2; k++) {
+            int nb = (int)(k ? pw[i] : hw[i]);
+            if (!nb) continue;
+            uint64_t v = (k ? pv[i] : hv[i]);
+            if (nb < 64) v &= (1ULL << nb) - 1;
+            long w = pos >> 6; int s = 64 - (int)(pos & 63);
+            if (nb <= s) {
+                out[w] |= v << (s - nb);
+            } else {
+                int rest = nb - s;
+                out[w] |= v >> rest;
+                out[w + 1] |= v << (64 - rest);
+            }
+            pos += nb;
+        }
+    }
+    return pos;
+}
+
 /* FSST greedy longest-match compressor over a block of strings.
    syms: n_syms * 8 bytes (padded); lens: per-symbol length 1..8.
    str_offs: n_strings+1 offsets into data. out must hold 2*data_len.
@@ -269,11 +335,22 @@ def _build() -> dict | None:
         fn.argtypes = [u64p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
     lib.patas_dec.restype = ctypes.c_long
     lib.patas_dec.argtypes = [u8p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
+    lib.xs_enc.restype = ctypes.c_long
+    lib.xs_enc.argtypes = [u64p, ctypes.c_long, u8p, u8p]
+    lib.xs_dec.restype = ctypes.c_long
+    lib.xs_dec.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_uint64, u64p]
+    lib.pack_hdr_pay.restype = ctypes.c_long
+    lib.pack_hdr_pay.argtypes = [
+        ctypes.c_uint64, u64p, i64p, u64p, i64p, ctypes.c_long, u64p,
+    ]
     lib.fsst_compress_block.restype = ctypes.c_long
     lib.fsst_compress_block.argtypes = [
         u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
     ]
     return {
+        "xs_enc": lib.xs_enc,
+        "xs_dec": lib.xs_dec,
+        "pack_hdr_pay": lib.pack_hdr_pay,
         "chimp_dec": lib.chimp_dec,
         "chimpn_dec": lib.chimpn_dec,
         "gorilla_dec": lib.gorilla_dec,

@@ -180,6 +180,15 @@ def xor_split_encode(bits: np.ndarray) -> bytes:
     head = struct.pack("<IQ", n, int(bits[0]) if n else 0)
     if n <= 1:
         return head
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None:
+        m = n - 1
+        ctrl = np.empty(m, dtype=np.uint8)
+        payload = np.empty(m * 8, dtype=np.uint8)
+        plen = nat["xs_enc"](bits, n, ctrl, payload)
+        return head + ctrl.tobytes() + payload[:plen].tobytes()
     xor = bits[1:] ^ bits[:-1]
     m = n - 1
     tzb = np.minimum(X.ctz64(xor) >> _U64(3), _U64(7))  # trailing zero bytes
@@ -209,6 +218,16 @@ def xor_split_decode(buf: memoryview, n_unused: int = 0) -> np.ndarray:
     if n == 1:
         return out
     m = n - 1
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None:
+        ctrl = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8, count=m, offset=12))
+        payload = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8, offset=12 + m))
+        if payload.size == 0:
+            payload = np.zeros(1, dtype=np.uint8)
+        nat["xs_dec"](ctrl, m, payload, first, out)
+        return out
     ctrl = np.frombuffer(buf, dtype=np.uint8, count=m, offset=12)
     s = (ctrl >> 3).astype(np.int64)
     tzb = (ctrl & 7).astype(np.uint64)

@@ -130,6 +130,18 @@ def _pack_records(
     zero bits (the reference's trailing write_bit(0), chimp.rs:197).
     """
     m = hdr_w.size
+    nat = _native.get()
+    if nat is not None and m:
+        total = 64 + int(hdr_w.sum() + pay_w.sum()) + tail_zero_bits
+        nwords = (total + 63) >> 6
+        out = np.zeros(nwords + 1, dtype=np.uint64)
+        nat["pack_hdr_pay"](
+            int(first),
+            np.ascontiguousarray(hdr_v), np.ascontiguousarray(hdr_w),
+            np.ascontiguousarray(pay_v), np.ascontiguousarray(pay_w),
+            m, out,
+        )
+        return out[:nwords], total
     off = np.empty(m + 1, dtype=np.int64)
     off[0] = 64
     np.cumsum(hdr_w + pay_w, out=off[1:])

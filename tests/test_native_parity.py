@@ -61,3 +61,18 @@ def test_fsst_native_equals_python(no_native, monkeypatch):
     o2, d2 = fsst.decode(memoryview(blob))
     assert d2.tobytes() == data
     np.testing.assert_array_equal(o2, offs)
+
+
+def test_xor_split_native_equals_python(no_native, monkeypatch):
+    from chimp_spark.codecs import light as L
+
+    for bits in _data().values():
+        py_buf = L.xor_split_encode(bits)
+        py_out = L.xor_split_decode(memoryview(py_buf))
+        monkeypatch.setattr(native_mod, "_FUNCS", None)
+        nat_buf = L.xor_split_encode(bits)
+        nat_out = L.xor_split_decode(memoryview(py_buf))
+        monkeypatch.setattr(native_mod, "_FUNCS", {})
+        assert nat_buf == py_buf
+        np.testing.assert_array_equal(py_out, nat_out)
+        np.testing.assert_array_equal(nat_out, bits)
