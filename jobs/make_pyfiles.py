@@ -20,9 +20,8 @@ def main() -> str:
                 if f.endswith(".py"):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, root))
-    print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    print(main())
