@@ -179,6 +179,18 @@ long gorilla_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, in
     return cnt;
 }
 
+/* last-previous-occurrence of each value's 14 LSBs: the ring-buffer
+   candidate search of Chimp128/Patas as one O(n) table walk. */
+void prev_same_lsb(const uint64_t* bits, long n, int64_t dflt, int64_t* prev) {
+    static _Thread_local int64_t idx[16384];
+    for (int i = 0; i < 16384; i++) idx[i] = dflt;
+    for (long i = 0; i < n; i++) {
+        int l = (int)(bits[i] & 0x3fff);
+        prev[i] = idx[l];
+        idx[l] = i;
+    }
+}
+
 /* xor_split (the engine's own split-stream float codec): control
    byte = sig_bytes(5 bits)<<3 | trail_bytes(3 bits); payload bytes
    little-endian. Same format as the numpy kernels. */
@@ -335,6 +347,8 @@ def _build() -> dict | None:
         fn.argtypes = [u64p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
     lib.patas_dec.restype = ctypes.c_long
     lib.patas_dec.argtypes = [u8p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
+    lib.prev_same_lsb.restype = None
+    lib.prev_same_lsb.argtypes = [u64p, ctypes.c_long, ctypes.c_int64, i64p]
     lib.xs_enc.restype = ctypes.c_long
     lib.xs_enc.argtypes = [u64p, ctypes.c_long, u8p, u8p]
     lib.xs_dec.restype = ctypes.c_long
@@ -348,6 +362,7 @@ def _build() -> dict | None:
         u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
     ]
     return {
+        "prev_same_lsb": lib.prev_same_lsb,
         "xs_enc": lib.xs_enc,
         "xs_dec": lib.xs_dec,
         "pack_hdr_pay": lib.pack_hdr_pay,

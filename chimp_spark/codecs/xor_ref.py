@@ -167,8 +167,13 @@ def _prev_same_lsb(bits: np.ndarray, default: int) -> np.ndarray:
     an unseen LSB aliases to index 0), -1 (= usize::MAX, always out of
     scope) for Patas' ``Encoder::new`` (aligned.rs:24).
     """
+    n = bits.size
+    nat = _native.get()
+    if nat is not None:
+        prev = np.empty(n, dtype=np.int64)
+        nat["prev_same_lsb"](np.ascontiguousarray(bits), n, default, prev)
+        return prev
     lsb = (bits & _U64(0x3FFF)).astype(np.int64)
-    n = lsb.size
     order = np.argsort(lsb, kind="stable")
     prev = np.full(n, default, dtype=np.int64)
     if n > 1:
