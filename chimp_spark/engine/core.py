@@ -253,6 +253,14 @@ def decode_table(
 
         def emit() -> pa.RecordBatch:
             pid, rs = group_meta
+            missing = [c for c in columns if c not in group]
+            if missing:
+                raise ValueError(
+                    f"chunk (run={group_key[0]}, part={pid}) lacks columns "
+                    f"{missing}: decode_table needs all columns from ONE "
+                    f"encode run — encode them together or decode per "
+                    f"column and join on (part_id, row_id)"
+                )
             raws = {c: decode_chunk(group[c]) for c in columns}
             if verify_checksums:
                 for c, a in raws.items():
