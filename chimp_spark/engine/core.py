@@ -100,6 +100,9 @@ def encode_dataframe(
     by the caller *before* this (see partitioning.py), so the encode
     plan composes with whatever layout the table needs.
     """
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
     import uuid
 
     cols = columns or df.columns
@@ -175,6 +178,9 @@ def decode_column(
     any global sort. ``value_ddl`` is the Spark type of the value
     column, e.g. ``"double"``.
     """
+    from .. import _ship
+
+    _ship.ensure(encoded.sparkSession)
     sel = encoded.filter(F.col("column") == column)
     if table is not None:
         sel = sel.filter(F.col("table") == table)
@@ -232,6 +238,9 @@ def decode_table(
     output batch. ``ddl`` gives the decoded column types, e.g.
     ``"l_orderkey long, l_extendedprice double"``.
     """
+    from .. import _ship
+
+    _ship.ensure(encoded.sparkSession)
     sel = (
         encoded.filter(F.col("column").isin(columns))
         .select("run_id", "part_id", "chunk_id", "row_start", "column", "checksum", "frame")

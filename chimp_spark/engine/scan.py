@@ -54,6 +54,9 @@ def encode_parquet(
     num_slices: int | None = None,
 ) -> DataFrame:
     """Encoded-chunk DataFrame, reading row groups directly via Arrow."""
+    from .. import _ship
+
+    _ship.ensure(spark)
     import glob as _glob
     import os
 

@@ -145,6 +145,9 @@ def minhash_signatures(
     h_i(x) = splitmix64(x ^ seed_i). The per-doc min over all hash
     lanes is one (n_shingles x num_hashes) numpy reduction.
     """
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
     sel = df.select(id_col, text_col)
 
@@ -252,6 +255,9 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over word hashes (vectorized popcount-style sum)."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
     sel = df.select(id_col, text_col)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

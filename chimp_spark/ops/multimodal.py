@@ -55,6 +55,9 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
     """Decode (stub) -> resize (real numpy striding) -> per-channel
     mean/std features. Output: media_id, feat array<float> of
     target_h*target_w*3 + 6 summary floats."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
     th, tw = target
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -90,6 +93,9 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
 def audio_frames(df: DataFrame, frame_ms: int = 250) -> DataFrame:
     """Decode (stub) -> fixed-window frame energy (real vectorized
     framing). Output one row per frame: media_id, frame_idx, rms."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

@@ -60,6 +60,9 @@ def rp_signatures(
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-cosine) bucket signatures.
     One matmul per Arrow batch — vectorized, deterministic."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
     planes = _hyperplanes(dim, nbits, seed)
     sel = df.select(id_col, vec_col)
 

@@ -95,6 +95,9 @@ def pages_df(
     base_ts: int = 1_690_000_000_000_000,
 ) -> DataFrame:
     """Distributed deterministic pages table."""
+    from . import _ship
+
+    _ship.ensure(spark)
     per = total_rows // num_partitions
     counts = [per + (1 if i < total_rows % num_partitions else 0) for i in range(num_partitions)]
     plan = spark.createDataFrame(
