@@ -77,6 +77,47 @@ def _stage_scaling_input(sf_dir: str) -> str:
     return staged
 
 
+def _stage_weak_input(sf_dir: str, rep: int) -> str:
+    import pyarrow as pa_mod
+    import pyarrow.parquet as pq
+
+    staged = f"/tmp/bench_lineitem_weak{rep}.parquet"
+    if not os.path.exists(staged):
+        t = pq.read_table(f"{sf_dir}/lineitem.parquet")
+        t = pa_mod.concat_tables([t] * rep)
+        pq.write_table(t, staged, row_group_size=65_536)
+    return staged
+
+
+def _weak_scaling_session(cpus: int, rep: int, sf_dir: str):
+    """Weak scaling: work proportional to cores (rep ~ cpus), so ideal
+    wall time is CONSTANT across core counts. Less sensitive to the
+    box's all-core turbo asymmetry than strong scaling."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from chimp_spark import engine
+
+    staged = _stage_weak_input(sf_dir, rep)
+    spark = engine.get_spark(cpus=cpus, app=f"weak{cpus}", chunk_rows=CHUNK)
+    try:
+        enc = engine.encode_parquet(spark, staged, table_name="lineitem")
+        enc.agg(F.sum("raw_bytes")).collect()
+        times = []
+        raw = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e = engine.encode_parquet(spark, staged, table_name="lineitem")
+            raw = e.agg(F.sum("raw_bytes").alias("r")).collect()[0]["r"]
+            times.append(time.perf_counter() - t0)
+        sec = min(times)
+        return {"sec": sec, "times": [round(t, 2) for t in times],
+                "raw_bytes": raw, "gbps": raw / sec / 1e9}
+    finally:
+        spark.stop()
+
+
 def _bench_encode_session(cpus: int, sf_dir: str):
     """Scaling probe: scan-path encode (deterministic file reads, no
     shuffle/cache variance), median of 3 timed passes after a warm
@@ -234,6 +275,27 @@ def main() -> None:
                     "speedup": round(sp, 3),
                     "efficiency": round(sp / 4, 3),
                 }
+
+    if DO_SCALING:
+        # weak scaling: work ~ cores (2 cores x rep2 vs 8 cores x rep8
+        # vs 32 cores x rep32): ideal wall constant, efficiency = T_N/T_kN
+        weak = {}
+        for c, rep in [(2, 2), (8, 8), (32, 32)]:
+            if c <= CPUS:
+                weak[c] = _weak_scaling_session(c, rep, SF_DIR)
+                results[f"weak_encode_local{c}"] = round(weak[c]["sec"], 3)
+        if 2 in weak and 8 in weak:
+            extra.setdefault("scaling", {})["weak_2_to_8"] = {
+                "efficiency": round(weak[2]["sec"] / weak[8]["sec"], 3),
+                "gbps_n": round(weak[2]["gbps"], 4),
+                "gbps_4n": round(weak[8]["gbps"], 4),
+            }
+        if 8 in weak and 32 in weak:
+            extra["scaling"]["weak_8_to_32"] = {
+                "efficiency": round(weak[8]["sec"] / weak[32]["sec"], 3),
+                "gbps_n": round(weak[8]["gbps"], 4),
+                "gbps_4n": round(weak[32]["gbps"], 4),
+            }
 
     total = sum(results.values())
     sf = SF_DIR.rstrip("/").split("sf")[-1]

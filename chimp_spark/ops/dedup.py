@@ -247,6 +247,37 @@ def minhash_dedup_pairs(
     return verify_jaccard(cands, df, id_col, text_col, threshold=threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs.
+
+    ``use_lsh=True`` (the scale path) generates candidates via
+    MinHash banding then verifies with exact Jaccard; ``use_lsh=False``
+    is the brute-force all-pairs variant (ground truth / small data).
+    Both return (a, b, jaccard) with exact Jaccard values.
+    """
+    if use_lsh:
+        return minhash_dedup_pairs(df, id_col, text_col, threshold=threshold)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_array(text_col, k)).alias("sh"),
+    )
+    pairs = sh.alias("l").join(sh.alias("r"), F.col("l.id") < F.col("r.id")).select(
+        F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+        (
+            F.size(F.array_intersect("l.sh", "r.sh"))
+            / F.greatest(F.size(F.array_union("l.sh", "r.sh")), F.lit(1))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -152,3 +152,15 @@ def test_embedding_near_dups(spark, embeddings):
     found = {(r["a"], r["b"]) for r in pairs.collect()}
     expected = {(r["vec_id"], r["vec_id"] + 100_000) for r in embeddings.collect()}
     assert expected <= found
+
+
+def test_ngram_jaccard_brute_equals_lsh(spark, docs):
+    brute = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9, use_lsh=False).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9, use_lsh=True).collect()
+    }
+    assert brute == lsh and len(brute) > 0
