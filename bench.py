@@ -60,7 +60,10 @@ def _timed_encode(engine, F, df, table: str, warm: bool = True):
 
     if warm:
         one_pass()
-    return one_pass()
+    # min of 2 timed passes: this VM shows sporadic interference spikes
+    a = one_pass()
+    b = one_pass()
+    return a if a[0] <= b[0] else b
 
 
 def _stage_scaling_input(sf_dir: str) -> str:

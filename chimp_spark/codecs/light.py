@@ -164,6 +164,61 @@ def rle_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# DEC_FOR — decimal-float detection (ALP-style, VLDB'23 insight) [new]
+# ---------------------------------------------------------------------------
+# Price/measurement doubles are usually decimals (48.8, 104950.25).
+# Scaling by 10^k yields small integers that FOR/delta pack in ~half
+# the bits of any XOR codec. Strictly lossless: encode verifies every
+# value reconstructs BIT-identically (round-trip through the same
+# double division decode performs) and raises otherwise, so the
+# selector/framing falls back to the XOR family. -0.0, NaN, inf and
+# sub-ULP noise all fail verification and fall back automatically.
+
+class NotDecimalError(ValueError):
+    pass
+
+
+def dec_for_detect(vals: np.ndarray, max_k: int = 4) -> int | None:
+    """Smallest k (0..max_k) such that vals == round(vals*10^k)/10^k
+    bit-exactly; None if no k works."""
+    if vals.size == 0 or not np.isfinite(vals).all():
+        return None
+    bits = vals.view(np.uint64)
+    for k in range(0, max_k + 1):
+        mult = np.float64(10.0**k)
+        iv = np.round(vals * mult)
+        if np.abs(iv).max() >= 2**53:
+            return None
+        # verify through the EXACT decode path (int64 cast loses the
+        # sign of -0.0, so it must be part of the check)
+        recon = iv.astype(np.int64) / mult
+        if (recon.view(np.uint64) == bits).all():
+            return k
+    return None
+
+
+def dec_for_encode(vals: np.ndarray) -> bytes:
+    """<u8 k><u8 inner: 0=FOR,1=delta> + int blob. Raises
+    NotDecimalError when the chunk is not exactly decimal."""
+    k = dec_for_detect(vals)
+    if k is None:
+        raise NotDecimalError("chunk is not decimal-representable")
+    iv = np.round(vals * np.float64(10.0**k)).astype(np.int64)
+    for_blob = for_bitpack_encode(iv)
+    delta_blob = delta_bp_encode(iv) if iv.size else for_blob
+    if len(delta_blob) < len(for_blob):
+        return struct.pack("<BB", k, 1) + delta_blob
+    return struct.pack("<BB", k, 0) + for_blob
+
+
+def dec_for_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    k, inner = struct.unpack_from("<BB", buf, 0)
+    dec = delta_bp_decode if inner else for_bitpack_decode
+    iv = dec(buf[2:], n, np.int64)
+    return (iv / np.float64(10.0**k)).astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
 # XOR_SPLIT — the engine's production float codec [new]
 # ---------------------------------------------------------------------------
 # Split-stream, byte-aligned XOR-against-previous: per value one control
@@ -417,5 +472,6 @@ CODEC_IDS = {
     "bool_pack": 14,
     "dict_rle": 15,
     "list_plain": 16,
+    "dec_for": 17,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

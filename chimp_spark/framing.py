@@ -135,6 +135,7 @@ _NUM_ENC = {
     "delta_bp": L.delta_bp_encode,
     "ts_chimp": L.ts_chimp_encode,
     "xor_split": lambda v: L.xor_split_encode(v.view(np.uint64)),
+    "dec_for": L.dec_for_encode,
     "chimp": L.chimp_block_encode,
     "chimpn": L.chimpn_block_encode,
     "gorilla": L.gorilla_block_encode,
@@ -148,6 +149,7 @@ _NUM_DEC = {
     "delta_bp": L.delta_bp_decode,
     "ts_chimp": L.ts_chimp_decode,
     "xor_split": lambda b, n, dt: L.xor_split_decode(b).view(dt),
+    "dec_for": L.dec_for_decode,
     "chimp": L.chimp_block_decode,
     "chimpn": L.chimpn_block_decode,
     "gorilla": L.gorilla_block_decode,
@@ -231,7 +233,16 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
             vals = np.ascontiguousarray(vals, dtype=npdt)
             if codec == "auto":
                 codec, reason = choose_codec(vals, dtype)
-            payload = _NUM_ENC[codec](vals)
+                try:
+                    payload = _NUM_ENC[codec](vals)
+                except L.NotDecimalError:
+                    # sampled detection said decimal but the full chunk
+                    # isn't: fall back to the production float codec
+                    codec = "xor_split"
+                    reason += ";dec_for_fallback"
+                    payload = _NUM_ENC[codec](vals)
+            else:
+                payload = _NUM_ENC[codec](vals)
         raw_bytes = n_valid * npdt.itemsize
         checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
 

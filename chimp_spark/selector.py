@@ -29,7 +29,7 @@ SPEED = {
     "const": 0.5, "plain": 1.0, "for_bitpack": 1.2, "delta_bp": 1.3,
     "rle": 1.2, "xor_split": 1.6, "patas": 2.5, "chimp": 3.0,
     "chimpn": 4.0, "gorilla": 4.5, "ts_chimp": 3.0,
-    "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0,
+    "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0, "dec_for": 1.3,
 }
 
 
@@ -77,6 +77,8 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         cands["rle"] = len(L.rle_encode(sample))
 
     if dtype in ("f64",):
+        if L.dec_for_detect(sample) is not None:
+            cands["dec_for"] = len(L.dec_for_encode(sample))
         cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
         cands["chimp"] = len(L.chimp_block_encode(sample))
         cands["patas"] = len(L.patas_block_encode(sample))

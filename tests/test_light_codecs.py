@@ -212,3 +212,26 @@ def test_frame_list_i64():
     blob, meta = framing.encode_chunk(arr)
     out = framing.decode_chunk(blob, arr.type)
     assert out.equals(arr)
+
+
+def test_dec_for_decimal_floats():
+    prices = np.round(rng.uniform(900, 104950, 8000), 2)
+    blob, meta = framing.encode_chunk(pa.array(prices), codec="auto")
+    assert meta.codec == "dec_for"
+    out = np.asarray(framing.decode_chunk(blob, pa.float64()))
+    np.testing.assert_array_equal(out.view(np.uint64), prices.view(np.uint64))
+    assert meta.enc_bytes * 8 / meta.n < 26  # ~24 bits vs 64 raw
+
+    # -0.0 / NaN / non-decimal tails must never pick (or must survive) dec_for
+    for vals in (
+        np.array([1.25, -0.0, 3.5] * 50),
+        np.concatenate([np.round(rng.uniform(0, 9, 5000), 1), rng.normal(0, 1, 50)]),
+        np.array([np.nan, 1.5, np.inf] * 20),
+    ):
+        blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+        out = np.asarray(framing.decode_chunk(blob, pa.float64()))
+        np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+    # explicit dec_for on non-decimal data raises (no silent loss)
+    with pytest.raises(ValueError):
+        framing.encode_chunk(pa.array(rng.normal(0, 1, 100)), codec="dec_for")
