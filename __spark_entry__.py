@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_bp_roundtrip_orderkey": _roundtrip("orders", "o_orderkey", "delta_bp", "long"),
         "rle_roundtrip_quantity": _roundtrip("lineitem", "l_quantity", "rle", "double"),
         "ts_chimp_roundtrip_ts": _roundtrip("events", "ts", "ts_chimp", "timestamp", micros=True),
+        "gcd_for_roundtrip_shipdate": _roundtrip("lineitem", "l_shipdate", "gcd_for", "timestamp", micros=True),
+        "dec_for_roundtrip_discount": _roundtrip("lineitem", "l_discount", "dec_for", "double"),
         "delta_bp_roundtrip_shipdate": _roundtrip("lineitem", "l_shipdate", "delta_bp", "timestamp", micros=True),
         # auto-selection end-to-end
         "auto_roundtrip_suppkey": _roundtrip("lineitem", "l_suppkey", "auto", "long"),
@@ -388,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "delta_bp_roundtrip_orderkey": _oracle_roundtrip("orders", "o_orderkey"),
         "rle_roundtrip_quantity": _oracle_roundtrip("lineitem", "l_quantity"),
         "ts_chimp_roundtrip_ts": _oracle_roundtrip("events", "ts", micros=True),
+        "gcd_for_roundtrip_shipdate": _oracle_roundtrip("lineitem", "l_shipdate", micros=True),
+        "dec_for_roundtrip_discount": _oracle_roundtrip("lineitem", "l_discount"),
         "delta_bp_roundtrip_shipdate": _oracle_roundtrip("lineitem", "l_shipdate", micros=True),
         "auto_roundtrip_suppkey": _oracle_roundtrip("lineitem", "l_suppkey"),
         "auto_roundtrip_mktsegment": _oracle_roundtrip("customer", "c_mktsegment"),

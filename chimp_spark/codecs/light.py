@@ -104,6 +104,37 @@ def for_bitpack_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GCD-scaled FOR: ints/timestamps on a coarse grid [new]
+# ---------------------------------------------------------------------------
+# Date-aligned timestamps (multiples of 86_400e6 us), second-aligned
+# logs (1e6), money-in-cents ints etc. share a large GCD; dividing it
+# out before FOR collapses the bit width (l_shipdate: 48 -> 13 bits).
+# Always exact: the divisor is computed on the full chunk and stored.
+
+def gcd_for_encode(vals: np.ndarray) -> bytes:
+    iv = vals.astype(np.int64, copy=False)
+    lo = int(iv.min())
+    rel = iv - lo
+    g = int(np.gcd.reduce(rel)) if rel.size else 0
+    if g <= 1:
+        g = 1
+    scaled = rel // g if g > 1 else rel
+    width = int(scaled.max()).bit_length() if scaled.size else 0
+    header = struct.pack("<qqB", lo, g, width)
+    if width == 0:
+        return header
+    return header + bitpack(scaled.astype(np.uint64), width)
+
+
+def gcd_for_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    lo, g, width = struct.unpack_from("<qqB", buf, 0)
+    if width == 0:
+        return np.full(n, lo, dtype=dtype)
+    rel = bitunpack(buf[17:], n, width).astype(np.int64)
+    return (rel * g + lo).astype(dtype, copy=False)
+
+
+# ---------------------------------------------------------------------------
 # DELTA + FOR bit-pack (sorted / near-sorted ints, ids, dates)
 # ---------------------------------------------------------------------------
 
@@ -473,5 +504,6 @@ CODEC_IDS = {
     "dict_rle": 15,
     "list_plain": 16,
     "dec_for": 17,
+    "gcd_for": 18,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

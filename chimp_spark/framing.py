@@ -136,6 +136,7 @@ _NUM_ENC = {
     "ts_chimp": L.ts_chimp_encode,
     "xor_split": lambda v: L.xor_split_encode(v.view(np.uint64)),
     "dec_for": L.dec_for_encode,
+    "gcd_for": L.gcd_for_encode,
     "chimp": L.chimp_block_encode,
     "chimpn": L.chimpn_block_encode,
     "gorilla": L.gorilla_block_encode,
@@ -150,6 +151,7 @@ _NUM_DEC = {
     "ts_chimp": L.ts_chimp_decode,
     "xor_split": lambda b, n, dt: L.xor_split_decode(b).view(dt),
     "dec_for": L.dec_for_decode,
+    "gcd_for": L.gcd_for_decode,
     "chimp": L.chimp_block_decode,
     "chimpn": L.chimpn_block_decode,
     "gorilla": L.gorilla_block_decode,

@@ -30,6 +30,7 @@ SPEED = {
     "rle": 1.2, "xor_split": 1.6, "patas": 2.5, "chimp": 3.0,
     "chimpn": 4.0, "gorilla": 4.5, "ts_chimp": 3.0,
     "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0, "dec_for": 1.3,
+    "gcd_for": 1.25,
 }
 
 
@@ -89,11 +90,16 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         cands["ts_chimp"] = len(L.ts_chimp_encode(sample))
         cands["delta_bp"] = len(L.delta_bp_encode(sample))
         cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+        iv = sample.astype(np.int64)
+        if iv.size and int(np.gcd.reduce(iv - iv.min())) > 1:
+            cands["gcd_for"] = len(L.gcd_for_encode(sample))
     else:  # integer kinds, date32
         iv = sample.astype(np.int64)
         width = int(iv.max() - iv.min()).bit_length()
         if width <= 56:
             cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+            if int(np.gcd.reduce(iv - iv.min())) > 1:
+                cands["gcd_for"] = len(L.gcd_for_encode(sample))
             dmax = np.abs(np.diff(iv)).max() if iv.size > 1 else 0
             if int(dmax).bit_length() < width:
                 cands["delta_bp"] = len(L.delta_bp_encode(sample))

@@ -235,3 +235,19 @@ def test_dec_for_decimal_floats():
     # explicit dec_for on non-decimal data raises (no silent loss)
     with pytest.raises(ValueError):
         framing.encode_chunk(pa.array(rng.normal(0, 1, 100)), codec="dec_for")
+
+
+def test_gcd_for_date_aligned_timestamps():
+    day = 86_400_000_000
+    ts = pa.array(1_500_000_000_000_000 + rng.integers(0, 2500, 6000) * day,
+                  type=pa.timestamp("us"))
+    blob, meta = framing.encode_chunk(ts, codec="auto")
+    assert meta.codec == "gcd_for", meta.reason
+    assert framing.decode_chunk(blob, ts.type).equals(ts)
+    assert meta.enc_bytes * 8 / meta.n < 14
+
+    # jittery (gcd 1) timestamps must not regress
+    ts2 = pa.array(1_500_000_000_000_000 + np.cumsum(rng.integers(1, 999, 3000)),
+                   type=pa.timestamp("us"))
+    blob, meta = framing.encode_chunk(ts2, codec="auto")
+    assert framing.decode_chunk(blob, ts2.type).equals(ts2)
