@@ -47,6 +47,8 @@ ENC_ARROW_SCHEMA = pa.schema(
         ("enc_bytes", pa.int64()),
         ("checksum", pa.int64()),
         ("encode_ns", pa.int64()),
+        ("stat_min", pa.float64()),
+        ("stat_max", pa.float64()),
         ("reason", pa.string()),
         ("frame", pa.binary()),
     ]
@@ -54,7 +56,8 @@ ENC_ARROW_SCHEMA = pa.schema(
 ENC_DDL = (
     "table string, run_id string, column string, part_id int, chunk_id long, row_start long, "
     "n long, n_valid long, codec string, dtype string, raw_bytes long, "
-    "enc_bytes long, checksum long, encode_ns long, reason string, frame binary"
+    "enc_bytes long, checksum long, encode_ns long, stat_min double, "
+    "stat_max double, reason string, frame binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -142,6 +145,8 @@ def encode_dataframe(
                 out["raw_bytes"].append(meta.raw_bytes)
                 out["enc_bytes"].append(meta.enc_bytes)
                 out["checksum"].append(meta.checksum)
+                out["stat_min"].append(meta.stat_min)
+                out["stat_max"].append(meta.stat_max)
                 out["reason"].append(meta.reason)
                 out["frame"].append(blob)
             state["chunk_id"] += 1
@@ -170,6 +175,7 @@ def encode_dataframe(
 def decode_column(
     encoded: DataFrame, column: str, value_ddl: str, table: str | None = None,
     verify_checksums: bool = False,
+    value_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Decode one column's frames -> (part_id, row_id, value).
 
@@ -184,6 +190,16 @@ def decode_column(
     sel = encoded.filter(F.col("column") == column)
     if table is not None:
         sel = sel.filter(F.col("table") == table)
+    if value_range is not None:
+        # zone-map pruning: skip whole chunks whose [stat_min, stat_max]
+        # cannot intersect the requested range (conservative: frames
+        # without stats pass through). At scale this is the encoded
+        # table's answer to parquet min/max row-group skipping.
+        lo, hi = value_range
+        sel = sel.filter(
+            F.col("stat_min").isNull()
+            | ((F.col("stat_max") >= F.lit(lo)) & (F.col("stat_min") <= F.lit(hi)))
+        )
     sel = sel.select("part_id", "row_start", "checksum", "frame")
     out_type = _arrow_type_of_ddl(value_ddl)
 

@@ -115,6 +115,8 @@ def encode_parquet(
                         out["raw_bytes"].append(meta.raw_bytes)
                         out["enc_bytes"].append(meta.enc_bytes)
                         out["checksum"].append(meta.checksum)
+                        out["stat_min"].append(meta.stat_min)
+                        out["stat_max"].append(meta.stat_max)
                         out["reason"].append(meta.reason)
                         out["frame"].append(blob)
                     chunk_id += 1

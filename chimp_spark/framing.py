@@ -182,6 +182,8 @@ class ChunkMeta:
     enc_bytes: int
     checksum: int
     reason: str = ""
+    stat_min: float | None = None  # zone map (numeric/temporal only),
+    stat_max: float | None = None  # 1-ulp padded -> always conservative
 
 
 def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
@@ -247,6 +249,13 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
                 payload = _NUM_ENC[codec](vals)
         raw_bytes = n_valid * npdt.itemsize
         checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
+        if dtype != "bool" and n_valid and np.isfinite(vals).all():
+            import math
+
+            stat_min = math.nextafter(float(vals.min()), -math.inf)
+            stat_max = math.nextafter(float(vals.max()), math.inf)
+        else:
+            stat_min = stat_max = None
 
     flags = 1 if has_nulls else 0
     head = MAGIC + struct.pack(
@@ -256,6 +265,7 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
     meta = ChunkMeta(
         codec=codec, dtype=dtype, n=n, n_valid=n_valid, raw_bytes=raw_bytes,
         enc_bytes=len(blob), checksum=checksum, reason=reason,
+        stat_min=locals().get("stat_min"), stat_max=locals().get("stat_max"),
     )
     return blob, meta
 

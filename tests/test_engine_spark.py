@@ -214,3 +214,29 @@ def test_resume_after_partial_failure(spark, tmp_path):
     lhs = df.select("c_custkey", "c_name")
     assert lhs.exceptAll(dec.select("c_custkey", "c_name")).isEmpty()
     assert dec.count() == df.count()
+
+
+def test_zone_map_pruning(spark):
+    """Range-partitioned encode -> decode_column(value_range=...) must
+    skip non-overlapping chunks (zone maps) and return exact results."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    laid = df.repartitionByRange(8, F.col("l_extendedprice"))
+    enc = engine.encode_dataframe(laid, ["l_extendedprice"], chunk_rows=512,
+                                  table_name="li").cache()
+    lo, hi = 5_000.0, 10_000.0
+    pruned = enc.filter(
+        F.col("stat_min").isNull()
+        | ((F.col("stat_max") >= lo) & (F.col("stat_min") <= hi))
+    ).count()
+    total = enc.count()
+    assert pruned < total / 2, f"zone maps should prune: {pruned}/{total}"
+
+    dec = engine.decode_column(enc, "l_extendedprice", "double",
+                               value_range=(lo, hi))
+    got = dec.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    expect = df.filter((F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi))
+    assert got.count() == expect.count()
+    lhs = expect.select(F.col("l_extendedprice").alias("v"))
+    rhs = got.select(F.col("value").alias("v"))
+    assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
+    enc.unpersist()
