@@ -256,6 +256,27 @@ def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(df).groupBy("lang_pred").count()
 
 
+def _zone_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate served off the ENCODED table: range layout ->
+    zone-map chunk pruning -> decode only overlapping chunks -> exact
+    filter. The encoded analogue of parquet row-group skipping."""
+    df = _read(spark, sf_dir, "lineitem")
+    laid = df.repartitionByRange(8, F.col("l_extendedprice"))
+    enc = engine.encode_dataframe(laid, ["l_extendedprice"], codec="auto",
+                                  chunk_rows=_CHUNK, table_name="lineitem")
+    dec = engine.decode_column(enc, "l_extendedprice", "double",
+                               value_range=(5000.0, 10000.0))
+    return dec.filter((F.col("value") >= 5000.0) & (F.col("value") <= 10000.0)).select(
+        F.col("value").alias("v")
+    )
+
+
+_ZONE_ORACLE = """
+SELECT l_extendedprice AS v FROM lineitem
+WHERE l_extendedprice BETWEEN 5000.0 AND 10000.0
+"""
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the documents table: distinct text count plus
     duplicate-row count (hash-groupBy — the map-side-combinable plan)."""
@@ -360,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregation parity over decoded columns
         "q1_pricing_decoded": _q1_decoded,
         "q3_join_decoded": _q3_join_decoded,
+        "zone_pruned_range_price": _zone_pruned_range,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "minhash_dedup_documents": _minhash_dedup,
@@ -398,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "list_roundtrip_embedding": _oracle_roundtrip("embeddings", "embedding"),
         "q1_pricing_decoded": _Q1_ORACLE,
         "q3_join_decoded": _Q3_ORACLE,
+        "zone_pruned_range_price": _ZONE_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"
