@@ -92,6 +92,69 @@ def _compile(symbols: list[bytes]) -> tuple[re.Pattern, dict[bytes, int]]:
     return pattern, code_of
 
 
+def _count_tokens_pairs_native(
+    offsets: np.ndarray, data: np.ndarray, symbols: list[bytes]
+) -> Counter | None:
+    """Token + adjacent-pair frequency counting via the C compressor
+    and vectorized escape-parity parsing (the training hot loop)."""
+    from .. import _native
+
+    nat = _native.get()
+    if nat is None:
+        return None
+    lens, code_bytes = compress_strings(offsets, data, symbols)
+    codes = np.frombuffer(code_bytes, dtype=np.uint8)
+    m = codes.size
+    if m == 0:
+        return Counter()
+    string_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+
+    # token starts: every position except literal payloads. Escape
+    # resolution = run parity over maximal 0xFF runs (see decode()).
+    is_ff = codes == ESCAPE
+    if is_ff.any():
+        run_start = np.empty(m, dtype=bool)
+        run_start[0] = is_ff[0]
+        np.greater(is_ff[1:], is_ff[:-1], out=run_start[1:])
+        first_in_run = np.zeros(m, dtype=np.int64)
+        starts_idx = np.flatnonzero(run_start)
+        first_in_run[starts_idx] = starts_idx
+        np.maximum.accumulate(first_in_run, out=first_in_run)
+        is_escape = is_ff & ((np.arange(m) - first_in_run) % 2 == 0)
+        after_escape = np.zeros(m, dtype=bool)
+        after_escape[1:] = is_escape[:-1]
+        is_token_start = ~after_escape
+        # string boundaries reset parity per string by construction:
+        # compress_strings never splits an escape across strings
+        tok_pos = np.flatnonzero(is_token_start)
+        tok_id = codes[tok_pos].astype(np.int64)
+        esc_at = is_escape[tok_pos]
+        lit_pos = np.minimum(tok_pos + 1, m - 1)
+        tok_id = np.where(esc_at, 256 + codes[lit_pos].astype(np.int64), tok_id)
+    else:
+        tok_pos = np.arange(m, dtype=np.int64)
+        tok_id = codes.astype(np.int64)
+    tok_str = string_id[tok_pos]
+
+    def tok_bytes(i: int) -> bytes:
+        return symbols[i] if i < 256 else bytes((i - 256,))
+
+    counts: Counter[bytes] = Counter()
+    singles = np.bincount(tok_id, minlength=512)
+    for i in np.flatnonzero(singles):
+        counts[tok_bytes(int(i))] += int(singles[i])
+    if tok_id.size > 1:
+        same = tok_str[1:] == tok_str[:-1]
+        combined = tok_id[:-1][same] * 512 + tok_id[1:][same]
+        pc = np.bincount(combined, minlength=1)
+        for key in np.flatnonzero(pc):
+            a, b = divmod(int(key), 512)
+            cat = tok_bytes(a) + tok_bytes(b)
+            if len(cat) <= MAX_SYM_LEN:
+                counts[cat] += int(pc[key])
+    return counts
+
+
 def train(sample: list[bytes]) -> list[bytes]:
     """Train a symbol table on sample strings (deterministic)."""
     budget = _SAMPLE_BYTES
@@ -104,17 +167,23 @@ def train(sample: list[bytes]) -> list[bytes]:
     if not pruned:
         return []
 
+    data = np.frombuffer(b"".join(pruned), dtype=np.uint8)
+    offsets = np.zeros(len(pruned) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in pruned], out=offsets[1:])
+
     symbols: list[bytes] = []
     for _ in range(_GENERATIONS):
-        pattern, _code_of = _compile(symbols)
-        counts: Counter[bytes] = Counter()
-        for s in pruned:
-            toks = pattern.findall(s)
-            counts.update(toks)
-            for a, b in zip(toks, toks[1:]):
-                cat = a + b
-                if len(cat) <= MAX_SYM_LEN:
-                    counts[cat] += 1
+        counts = _count_tokens_pairs_native(offsets, data, symbols)
+        if counts is None:  # pure-Python fallback (no C toolchain)
+            pattern, _code_of = _compile(symbols)
+            counts = Counter()
+            for s in pruned:
+                toks = pattern.findall(s)
+                counts.update(toks)
+                for a, b in zip(toks, toks[1:]):
+                    cat = a + b
+                    if len(cat) <= MAX_SYM_LEN:
+                        counts[cat] += 1
         ranked = sorted(
             counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
         )
@@ -167,16 +236,17 @@ def compress_strings(
     return lens, b"".join(chunks)
 
 
-def encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
+def encode(offsets: np.ndarray, data: np.ndarray, symbols: list[bytes] | None = None) -> bytes:
     offsets = offsets.astype(np.int64, copy=False)
     n = offsets.size - 1
-    # train on an evenly-spaced sample of strings
-    step = max(1, n // 256)
-    raw = data.tobytes()
-    sample = [
-        raw[int(offsets[i]) : int(offsets[i + 1])] for i in range(0, n, step)
-    ]
-    symbols = train(sample)
+    if symbols is None:
+        # train on an evenly-spaced sample of strings
+        step = max(1, n // 256)
+        raw = data.tobytes()
+        sample = [
+            raw[int(offsets[i]) : int(offsets[i + 1])] for i in range(0, n, step)
+        ]
+        symbols = train(sample)
     lens, codes = compress_strings(offsets, data, symbols)
     head = [struct.pack("<B", len(symbols))]
     for s in symbols:
@@ -186,6 +256,19 @@ def encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
     head.append(struct.pack("<II", n, len(lens_blob)))
     head.append(lens_blob)
     return b"".join(head) + codes
+
+
+def table_of(buf: memoryview) -> list[bytes]:
+    """Read the symbol table back out of an encoded payload header."""
+    n_syms = buf[0]
+    pos = 1
+    out = []
+    for _ in range(n_syms):
+        ln = buf[pos]
+        pos += 1
+        out.append(bytes(buf[pos : pos + ln]))
+        pos += ln
+    return out
 
 
 def decode(buf: memoryview, n_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:

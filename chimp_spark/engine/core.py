@@ -122,6 +122,7 @@ def encode_dataframe(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         state = {"chunk_id": 0, "row_start": 0}
+        col_caches: dict[str, dict] = {c: {} for c in cols}
 
         def flush(tbl: pa.Table) -> pa.RecordBatch:
             out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
@@ -130,7 +131,7 @@ def encode_dataframe(
             for col in tbl.column_names:
                 arr = tbl.column(col).combine_chunks()
                 t0 = _time.perf_counter_ns()
-                blob, meta = encode_chunk(arr, codec=codec_map[col])
+                blob, meta = encode_chunk(arr, codec=codec_map[col], cache=col_caches[col])
                 out["encode_ns"].append(_time.perf_counter_ns() - t0)
                 out["table"].append(table_name)
                 out["run_id"].append(run_id)

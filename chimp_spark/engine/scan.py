@@ -83,6 +83,8 @@ def encode_parquet(
 
         import pyarrow.parquet as pq
 
+        col_caches: dict[str, dict] = {}
+
         for b in batches:
             for i in range(b.num_rows):
                 unit = b.column("unit")[i].as_py()
@@ -100,7 +102,7 @@ def encode_parquet(
                     for col in sl.column_names:
                         arr = sl.column(col).combine_chunks()
                         t0 = _time.perf_counter_ns()
-                        blob, meta = encode_chunk(arr, codec=codec_of(col))
+                        blob, meta = encode_chunk(arr, codec=codec_of(col), cache=col_caches.setdefault(col, {}))
                         out["encode_ns"].append(_time.perf_counter_ns() - t0)
                         out["table"].append(table_name)
                         out["run_id"].append(run_id)

@@ -186,8 +186,15 @@ class ChunkMeta:
     stat_max: float | None = None  # 1-ulp padded -> always conservative
 
 
-def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
-    """Compress one arrow array into a self-contained frame."""
+def encode_chunk(
+    arr: pa.Array, codec: str = "auto", cache: dict | None = None
+) -> tuple[bytes, ChunkMeta]:
+    """Compress one arrow array into a self-contained frame.
+
+    ``cache`` (optional, per-column, task-local) amortizes FSST table
+    training across the chunks of a task; every frame still embeds its
+    own table, so decode stays chunk-independent.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     dtype = dtype_of_arrow(arr.type)
@@ -210,8 +217,8 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
         raw_bytes = int(data.size) + 4 * n
         checksum = zlib.crc32(data) ^ n
         if codec == "auto":
-            codec, reason = choose_codec_str(offs, data)
-        payload = _encode_str_payload(codec, offs, data, dense)
+            codec, reason = choose_codec_str(offs, data, cache)
+        payload = _encode_str_payload(codec, offs, data, dense, cache)
     elif dtype.startswith("list_"):
         # embedding-style list<numeric>: lengths FOR-bitpacked + flat
         # values plain (random embeddings don't compress; the win is
@@ -270,12 +277,23 @@ def encode_chunk(arr: pa.Array, codec: str = "auto") -> tuple[bytes, ChunkMeta]:
     return blob, meta
 
 
-def _encode_str_payload(codec: str, offs: np.ndarray, data: np.ndarray, dense: pa.Array) -> bytes:
+def _encode_str_payload(
+    codec: str, offs: np.ndarray, data: np.ndarray, dense: pa.Array,
+    cache: dict | None = None,
+) -> bytes:
     if codec in ("dict", "dict_rle"):
         d = dense.dictionary_encode()
         codes = np.asarray(d.indices).astype(np.int64)
         doffs, ddata = _string_block(d.dictionary)
         return L.str_dict_encode(offs, data, codes, doffs, ddata, rle=(codec == "dict_rle"))
+    if codec == "fsst":
+        symbols = cache.get("fsst_symbols") if cache is not None else None
+        if symbols is None:
+            blob = fsst.encode(offs, data)
+            if cache is not None:
+                cache["fsst_symbols"] = fsst.table_of(memoryview(blob))
+            return blob
+        return fsst.encode(offs, data, symbols=symbols)
     return _STR_ENC[codec](offs, data)
 
 
@@ -400,7 +418,9 @@ def _build_list_array(
     )
 
 
-def choose_codec_str(offs: np.ndarray, data: np.ndarray) -> tuple[str, str]:
+def choose_codec_str(
+    offs: np.ndarray, data: np.ndarray, cache: dict | None = None
+) -> tuple[str, str]:
     from .selector import choose_codec_string
 
-    return choose_codec_string(offs, data)
+    return choose_codec_string(offs, data, cache)

@@ -106,7 +106,9 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
     return _pick(cands, raw)
 
 
-def choose_codec_string(offs: np.ndarray, data: np.ndarray) -> tuple[str, str]:
+def choose_codec_string(
+    offs: np.ndarray, data: np.ndarray, cache: dict | None = None
+) -> tuple[str, str]:
     """Pick a codec for a string/binary chunk given its (offsets, data)."""
     n = offs.size - 1
     if n == 0:
@@ -140,7 +142,8 @@ def choose_codec_string(offs: np.ndarray, data: np.ndarray) -> tuple[str, str]:
             )
     avg_len = float(sdata.size) / max(m, 1)
     if avg_len >= 8 and card > m // 4:
-        cands["fsst"] = len(fsst.encode(soffs, sdata))
+        syms = cache.get("fsst_symbols") if cache is not None else None
+        cands["fsst"] = len(fsst.encode(soffs, sdata, symbols=syms))
     return _pick(cands, raw)
 
 
