@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--salt-key", default=None)
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--scan", action="store_true",
+                   help="bulk-ingest fast path: read parquet row groups "
+                        "directly via Arrow (skips Spark row conversion; "
+                        "layout flags don't apply)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +53,18 @@ def main() -> None:
     )
 
     spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
+
+    if args.scan:
+        from chimp_spark.engine import EncodedTable, encode_parquet
+
+        cols = args.columns.split(",") if args.columns else None
+        enc = encode_parquet(spark, args.input, columns=cols, codec=args.codec,
+                             chunk_rows=args.chunk_rows, table_name=args.table)
+        stats = EncodedTable(args.output).commit(spark, enc, args.table)
+        print(json.dumps({"job": "encode-scan", "table": args.table, **stats}))
+        spark.stop()
+        return
+
     df = spark.read.parquet(args.input)
     parts = args.partitions or spark.sparkContext.defaultParallelism
 
