@@ -240,3 +240,18 @@ def test_zone_map_pruning(spark):
     rhs = got.select(F.col("value").alias("v"))
     assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
     enc.unpersist()
+
+
+def test_encode_parquet_multifile_dir(spark, tmp_path):
+    """Scan path over a directory of parquet files (the crawl-dump
+    shape: many files x row groups = work units)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src = str(tmp_path / "many")
+    df.repartition(5).write.mode("overwrite").parquet(src)
+    enc = engine.encode_parquet(spark, src, table_name="orders", chunk_rows=1024)
+    assert enc.select("part_id").distinct().count() == 5  # one unit per file
+    dec = engine.decode_table(enc, ["o_orderkey", "o_totalprice"],
+                              "o_orderkey long, o_totalprice double")
+    lhs = df.select("o_orderkey", "o_totalprice")
+    assert lhs.exceptAll(dec.select("o_orderkey", "o_totalprice")).isEmpty()
+    assert dec.count() == df.count()
