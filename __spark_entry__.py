@@ -30,25 +30,14 @@ if _REPO not in sys.path:
 from chimp_spark import engine  # noqa: E402
 
 _CHUNK = 8192
-_SHIPPED: set[int] = set()
 
 
 def _ensure_workers(spark: SparkSession) -> None:
-    """Ship the package to python workers. The driver may run this
-    module from any cwd with its own session; workers unpickle our
-    Arrow kernels by module reference, so chimp_spark must be
-    importable there — addPyFile handles that for any master."""
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    try:
-        from jobs.make_pyfiles import main as _mkzip
+    """Ship the package to python workers (delegates to the library's
+    own content-hashed shipper — engine entry points also call it)."""
+    from chimp_spark import _ship
 
-        spark.sparkContext.addPyFile(_mkzip())
-    except Exception:
-        # fall back to PYTHONPATH inheritance (local mode from repo cwd)
-        pass
-    _SHIPPED.add(key)
+    _ship.ensure(spark)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -41,15 +41,22 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitio import BitReader, pack_bits, scatter_bits, unpack_fields
+from ..bitio import pack_bits, scatter_bits, unpack_fields
 from .. import _native
 
 
-def _native_words_decode(fn, words: np.ndarray, n_values, sentinel) -> np.ndarray:
+def _native_words_decode(
+    fn, words: np.ndarray, n_values, sentinel, min_record_bits: int = 2
+) -> np.ndarray:
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
     w = np.ascontiguousarray(words, dtype=np.uint64)
-    max_out = n_values if n_values is not None else (w.size * 64) // 2 + 2
+    # sentinel mode must size for the worst case: gorilla's zero-XOR
+    # record is a single bit, chimp-family records are >= 2 bits
+    max_out = (
+        n_values if n_values is not None
+        else (w.size * 64) // min_record_bits + 2
+    )
     out = np.empty(max(max_out, 1), dtype=np.uint64)
     cnt = fn(w, w.size, out, max_out, 1 if sentinel else 0)
     if cnt < 0 or (n_values is not None and cnt != n_values):
@@ -71,18 +78,6 @@ LEADING_REPR_ENC = np.array(
 LEADING_REPR_DEC = np.array([0, 8, 12, 16, 18, 20, 22, 24], dtype=np.uint64)
 
 _U64 = np.uint64
-_M5 = _U64(0x5555555555555555)
-_M3 = _U64(0x3333333333333333)
-_MF = _U64(0x0F0F0F0F0F0F0F0F)
-_M1 = _U64(0x0101010101010101)
-
-
-def popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized population count (SWAR; numpy<2 lacks bitwise_count)."""
-    x = x - ((x >> _U64(1)) & _M5)
-    x = (x & _M3) + ((x >> _U64(2)) & _M3)
-    x = (x + (x >> _U64(4))) & _MF
-    return (x * _M1) >> _U64(56)
 
 
 def clz64(x: np.ndarray) -> np.ndarray:
@@ -443,7 +438,9 @@ def gorilla_decode(
         raise ValueError("exactly one of n_values / sentinel required")
     nat = _native.get()
     if nat is not None:
-        return _native_words_decode(nat["gorilla_dec"], words, n_values, sentinel)
+        return _native_words_decode(
+            nat["gorilla_dec"], words, n_values, sentinel, min_record_bits=1
+        )
     if n_values is not None and n_values == 0:
         return np.zeros(0, dtype=np.uint64)
     wl = words.tolist()
@@ -628,10 +625,14 @@ def chimpn_decode(
     end = len(wl) << 6
     if end < 64:
         raise EOFError("stream too short")
+    wl.append(0)  # pad: reads that cross the end return zeros, the
+    # pos>end check after each record turns them into EOFError
 
     def rd(pos: int, nb: int) -> int:
         w = pos >> 6
         s = 64 - (pos & 63)
+        if w + 1 >= len(wl):
+            raise EOFError("chimpn stream truncated")
         if nb <= s:
             return (wl[w] >> (s - nb)) & ((1 << nb) - 1)
         rest = nb - s
@@ -678,6 +679,10 @@ def chimpn_decode(
         else:
             curr = ring[rd(pos, 7)]
             pos += 7
+        if pos > end:
+            if sentinel:
+                break
+            raise EOFError("chimpn stream truncated")
         ci = (ci + 1) & 127
         ring[ci] = curr
         if sentinel and curr == nan:

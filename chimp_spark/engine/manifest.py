@@ -204,9 +204,11 @@ def encode_and_commit(
     if resume:
         work = t.pending_partitions(work, table)
     cols = columns or [c for c in df.columns]
-    encoded = encode_dataframe(work.drop("__part_id"), cols, codec=codec,
-                               chunk_rows=chunk_rows, table_name=table)
-    if encoded.isEmpty():
+    # emptiness checked on the cheap filtered scan, not on the encoded
+    # plan (isEmpty() on the latter would run encode work twice)
+    if work.isEmpty():
         return {"version": t.current_version(), "files": 0, "partitions": 0,
                 "resumed": True}
+    encoded = encode_dataframe(work.drop("__part_id"), cols, codec=codec,
+                               chunk_rows=chunk_rows, table_name=table)
     return t.commit(spark, encoded, table)

@@ -212,6 +212,14 @@ def encode_chunk(
     n_valid = n - n_nulls
 
     reason = ""
+    stat_min = stat_max = None
+    if n_valid == 0 and dtype != "bool" and not dtype.startswith("list_"):
+        # nothing to encode: several codecs (rle/delta/const/for/dec)
+        # require at least one value; plain handles zero values for
+        # every dtype, so override regardless of the requested codec
+        if codec != "auto" and codec != "plain":
+            reason = f"requested={codec};empty->plain"
+        codec = "plain"
     if dtype in ("str", "bin"):
         offs, data = _string_block(dense)
         raw_bytes = int(data.size) + 4 * n
@@ -272,7 +280,7 @@ def encode_chunk(
     meta = ChunkMeta(
         codec=codec, dtype=dtype, n=n, n_valid=n_valid, raw_bytes=raw_bytes,
         enc_bytes=len(blob), checksum=checksum, reason=reason,
-        stat_min=locals().get("stat_min"), stat_max=locals().get("stat_max"),
+        stat_min=stat_min, stat_max=stat_max,
     )
     return blob, meta
 

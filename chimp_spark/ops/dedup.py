@@ -158,13 +158,19 @@ def minhash_signatures(
             sh, sh_off = _shingle_hashes(word_h, doc_off, shingle_k)
             ndocs = b.num_rows
             empty = np.diff(sh_off) == 0
-            starts = np.minimum(sh_off[:-1], max(sh.size - 1, 0))
+            # reduceat over NON-empty docs only: their starts are all
+            # < sh.size and consecutive segments end exactly at the
+            # next non-empty doc's start (empty docs contribute no
+            # shingles in between), so no clamping is needed —
+            # clamping would split the last doc's segment when a
+            # batch ends with empty/null docs
+            nz = np.flatnonzero(~empty)
             sigs = np.zeros((ndocs, num_hashes), dtype=np.uint64)
-            if sh.size:
+            if sh.size and nz.size:
+                starts = sh_off[:-1][nz]
                 for j in range(num_hashes):  # lane-at-a-time: O(shingles) mem
                     lane = _splitmix64(sh ^ seeds[j])
-                    sigs[:, j] = np.minimum.reduceat(lane, starts)
-            sigs[empty] = 0
+                    sigs[nz, j] = np.minimum.reduceat(lane, starts)
             sig_list = pa.FixedSizeListArray.from_arrays(
                 pa.array((sigs >> np.uint64(1)).astype(np.int64).ravel()), num_hashes
             ).cast(pa.list_(pa.int64()))
@@ -298,15 +304,14 @@ def simhash_signatures(
             ndocs = b.num_rows
             nw = np.diff(doc_off)
             out = np.zeros(ndocs, dtype=np.uint64)
-            if word_h.size:
-                starts = np.minimum(doc_off[:-1], max(word_h.size - 1, 0))
-                # bit-at-a-time vote: 64 reduceat passes over the flat
-                # word-hash array (no per-doc Python)
+            nz = np.flatnonzero(nw > 0)
+            if word_h.size and nz.size:
+                starts = doc_off[:-1][nz]  # non-empty docs only (see
+                # minhash_signatures: clamped starts split segments)
                 for bit in range(64):
                     ones = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
                     votes = np.add.reduceat(ones, starts)
-                    out |= np.uint64(1 << bit) * (2 * votes > nw)
-            out[nw == 0] = 0
+                    out[nz] |= np.uint64(1 << bit) * (2 * votes > nw[nz])
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array((out >> np.uint64(1)).astype(np.int64))],
                 names=["id", "simhash"],

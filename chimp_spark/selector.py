@@ -74,7 +74,7 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         sample.view(np.uint64) if dtype == "f64" else
         sample.view(np.uint32) if dtype == "f32" else sample
     ))) + 1
-    if nruns < n // 4 or nruns < sample.size // 4:
+    if nruns < sample.size // 4:
         cands["rle"] = len(L.rle_encode(sample))
 
     if dtype in ("f64",):

@@ -277,3 +277,14 @@ def test_frame_decoder_rejects_garbage():
                     np.asarray(out).view(np.uint64).tolist() == np.asarray(arr).view(np.uint64).tolist()
         except Exception:
             pass  # clean failure is the expected outcome
+
+
+def test_explicit_codec_on_all_null_chunk():
+    """Regression: explicitly-requested codecs must survive all-null /
+    empty chunks (forced to plain)."""
+    nulls = pa.array([None, None, None], type=pa.float64())
+    for codec in ["rle", "delta_bp", "const", "for_bitpack", "dec_for", "chimp"]:
+        blob, meta = framing.encode_chunk(nulls, codec=codec)
+        out = framing.decode_chunk(blob, pa.float64())
+        assert out.null_count == 3 and len(out) == 3
+        assert meta.codec == "plain"

@@ -164,3 +164,22 @@ def test_ngram_jaccard_brute_equals_lsh(spark, docs):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9, use_lsh=True).collect()
     }
     assert brute == lsh and len(brute) > 0
+
+
+def test_signatures_with_trailing_empty_docs(spark):
+    """Regression: a batch ending in empty/whitespace docs must not
+    corrupt the preceding doc's MinHash/SimHash segment (reduceat
+    start-clamping bug)."""
+    base = spark.createDataFrame(
+        [(1, "apple banana cherry date egg fig grape")], "doc_id long, text string"
+    )
+    padded = spark.createDataFrame(
+        [(1, "apple banana cherry date egg fig grape"), (2, ""), (3, "")],
+        "doc_id long, text string",
+    )
+    sig_alone = dedup.minhash_signatures(base.coalesce(1)).collect()[0]["sig"]
+    sig_padded = {r["id"]: r["sig"] for r in dedup.minhash_signatures(padded.coalesce(1)).collect()}
+    assert list(sig_alone) == list(sig_padded[1])
+    sh_alone = dedup.simhash_signatures(base.coalesce(1)).collect()[0]["simhash"]
+    sh_padded = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(padded.coalesce(1)).collect()}
+    assert sh_alone == sh_padded[1]

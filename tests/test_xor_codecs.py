@@ -164,3 +164,12 @@ def test_patas_fixed_handles_ambiguous_case():
     bits = np.array([a, b, a, b ^ np.uint64(0x1)], dtype=np.uint64)
     words, _ = X.patas_encode(bits, fixed=True)
     np.testing.assert_array_equal(X.patas_decode(words, n_values=4), bits)
+
+
+def test_gorilla_sentinel_repetitive_stream():
+    """Regression: sentinel-mode decode must size for 1-bit records
+    (zero-XOR repeats), not assume >=2 bits/record."""
+    vals = np.full(5000, 3.14159).view(np.uint64)
+    words, _ = X.gorilla_encode(vals, reference_close=True)
+    out = X.gorilla_decode(words, sentinel=True)
+    np.testing.assert_array_equal(out, vals)
