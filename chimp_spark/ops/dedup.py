@@ -39,18 +39,43 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def exact_duplicates(df: DataFrame, col: str = "text") -> DataFrame:
-    """Groups of byte-identical values with multiplicity > 1."""
+def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical values with multiplicity > 1.
+
+    Aggregates on ``(xxhash64(col), length(col))`` — a 12-byte,
+    map-side-combinable shuffle key — never on the value itself, so at
+    100 TB the shuffle moves key+ids, not the corpus. Collision odds
+    for 64-bit hash + length are ~n^2/2^65 per length class; callers
+    needing certainty verify within the (tiny) reported groups.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.xxhash64(col).alias("h"),
+        F.length(col).alias("ln"),
+    )
     return (
-        df.groupBy(col)
-        .agg(F.count("*").alias("copies"), F.collect_list("doc_id").alias("doc_ids"))
+        keyed.groupBy("h", "ln")
+        .agg(F.count("*").alias("copies"), F.collect_list(id_col).alias("doc_ids"))
         .filter(F.col("copies") > 1)
     )
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Keep one row per distinct (cols) combination (hash-based)."""
-    return df.dropDuplicates(cols)
+    """Keep one row per distinct (cols) combination.
+
+    Dedup key is a pair of independent 64-bit hashes (128-bit combined
+    — collision-free in practice), so the shuffle HASHES and compares
+    16 bytes per row instead of the full values; the surviving rows
+    still move once, which is the lower bound for a dedup that returns
+    rows."""
+    h1 = F.xxhash64(*cols)
+    h2 = F.xxhash64(F.lit("cs2"), *cols)
+    return (
+        df.withColumn("__h1", h1)
+        .withColumn("__h2", h2)
+        .dropDuplicates(["__h1", "__h2"])
+        .drop("__h1", "__h2")
+    )
 
 
 # ---------------------------------------------------------------------------

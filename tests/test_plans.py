@@ -77,6 +77,22 @@ def test_decode_table_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # chunk co-location only
 
 
+def test_exact_dedup_never_shuffles_text(spark):
+    """The exact-dedup aggregate must shuffle on (xxhash64, length) —
+    at 100 TB a shuffle keyed (or valued) on the text column would move
+    the corpus itself."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keyed = df.select(F.xxhash64("text").alias("h"), F.length("text").alias("ln"))
+    agg = keyed.agg(
+        F.countDistinct("h", "ln").alias("distinct_texts"), F.count("*").alias("n")
+    )
+    plan = _formatted(agg)
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # partial aggregation (map-side combine) must be present
+    assert "partial" in plan.lower()
+
+
 def test_decode_column_is_narrow(spark):
     df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     enc = engine.encode_dataframe(df, ["o_totalprice"], table_name="o")
