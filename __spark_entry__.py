@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_roundtrip_suppkey": _roundtrip("lineitem", "l_suppkey", "auto", "long"),
         "auto_roundtrip_mktsegment": _roundtrip("customer", "c_mktsegment", "auto", "string"),
         "list_roundtrip_embedding": _list_roundtrip_exploded("auto"),
+        "f32_split_roundtrip_embedding": _list_roundtrip_exploded("bss"),
         # aggregation parity over decoded columns
         "q1_pricing_decoded": _q1_decoded,
         "q3_join_decoded": _q3_join_decoded,
@@ -440,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_roundtrip_suppkey": _oracle_roundtrip("lineitem", "l_suppkey"),
         "auto_roundtrip_mktsegment": _oracle_roundtrip("customer", "c_mktsegment"),
         "list_roundtrip_embedding": _LIST_ORACLE,
+        "f32_split_roundtrip_embedding": _LIST_ORACLE,
         "q1_pricing_decoded": _Q1_ORACLE,
         "q3_join_decoded": _Q3_ORACLE,
         "zone_pruned_range_price": _ZONE_ORACLE,

@@ -331,6 +331,59 @@ def xor_split_decode(buf: memoryview, n_unused: int = 0) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# BSS — byte-stream split + deflate (f32/f64 lanes) [new]
+# ---------------------------------------------------------------------------
+# The reference's XOR family is f64-only (lib.rs:44-50); float32
+# payloads (embedding tables — the largest float payload of an LLM
+# pipeline) need their own path. Byte-stream split (Parquet
+# BYTE_STREAM_SPLIT / BtrBlocks-style) groups each byte lane of the
+# IEEE words contiguously: sign+exponent lanes are low-entropy and
+# deflate well, mantissa lanes of real-valued data stay near-random
+# and are stored raw when compression doesn't pay (per-lane flag).
+# For i.i.d. random embeddings the information-theoretic bound is
+# ~32/25 bits (mantissas incompressible); quantized or fp16-upcast
+# embeddings compress 2x+.
+
+def bss_encode(vals: np.ndarray, level: int = 2) -> bytes:
+    """<u8 itemsize><u8 lane-compressed bitmask> + per lane
+    <u32 len><bytes>: lane i deflated iff bit i set (raw otherwise)."""
+    import zlib
+
+    b = np.ascontiguousarray(vals)
+    itemsize = b.dtype.itemsize
+    n = b.size
+    lanes = b.view(np.uint8).reshape(n, itemsize) if n else np.zeros((0, itemsize), np.uint8)
+    parts: list[bytes] = []
+    mask = 0
+    for i in range(itemsize):
+        raw = np.ascontiguousarray(lanes[:, i]).tobytes()
+        comp = zlib.compress(raw, level)
+        if len(comp) < 0.98 * len(raw):
+            mask |= 1 << i
+            parts.append(struct.pack("<I", len(comp)) + comp)
+        else:
+            parts.append(struct.pack("<I", len(raw)) + raw)
+    return struct.pack("<BB", itemsize, mask) + b"".join(parts)
+
+
+def bss_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
+    import zlib
+
+    itemsize, mask = struct.unpack_from("<BB", buf, 0)
+    pos = 2
+    lanes = np.empty((n, itemsize), dtype=np.uint8)
+    for i in range(itemsize):
+        ln = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        raw = bytes(buf[pos : pos + ln])
+        pos += ln
+        if mask & (1 << i):
+            raw = zlib.decompress(raw)
+        lanes[:, i] = np.frombuffer(raw, dtype=np.uint8, count=n)
+    return np.ascontiguousarray(lanes).view(dtype).ravel()
+
+
+# ---------------------------------------------------------------------------
 # TS_CHIMP — delta + Chimp for timestamps [new; reference TODO chimp.rs:167]
 # ---------------------------------------------------------------------------
 
@@ -505,5 +558,7 @@ CODEC_IDS = {
     "list_plain": 16,
     "dec_for": 17,
     "gcd_for": 18,
+    "bss": 19,
+    "list_block": 20,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

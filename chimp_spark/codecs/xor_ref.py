@@ -818,6 +818,12 @@ def patas_decode(
         if sig_bytes == 1 and trail == 0:
             curr = ring[meta >> 9]  # identical value (aligned.rs:163-165)
         else:
+            if p + sig_bytes > nbytes:
+                # frame truncated mid-payload: a short slice would
+                # silently decode a wrong final value (C path returns -1)
+                if sentinel:
+                    break
+                raise EOFError("patas stream truncated")
             curr = ring[meta >> 9] ^ (int.from_bytes(buf[p : p + sig_bytes], "big") << trail)
             p += sig_bytes
         ci = (ci + 1) & 127

@@ -63,10 +63,15 @@ class EncodedTable:
         return entries
 
     def completed_part_ids(self, table: str) -> set[int]:
+        """Batch-resume partition ids. Streaming commits (epoch set)
+        are EXCLUDED: their part_ids restart at 0 each micro-batch and
+        must not mask unencoded batch source partitions on a mixed
+        streaming+batch table (streaming dedupe uses committed_epochs)."""
         return {
             e["part_id"]
             for e in self.manifest_entries()
-            if e["table"] == table and e["part_id"] >= 0 and e.get("committed", True)
+            if e["table"] == table and e["part_id"] >= 0
+            and e.get("committed", True) and e.get("epoch") is None
         }
 
     def data_files(self) -> list[str]:

@@ -101,17 +101,31 @@ def arrow_of_dtype(code: str, tz=None) -> pa.DataType:
     }[code]
 
 
-def _list_block(arr: pa.Array, npdt: np.dtype) -> tuple[np.ndarray, np.ndarray]:
-    """(lengths, flat values) of a no-null list<numeric> array."""
+def _list_block(
+    arr: pa.Array, npdt: np.dtype
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """(lengths, flat VALID values, child validity | None) of a
+    list<numeric> array whose outer nulls are already dropped.
+
+    Inner (element-level) nulls are preserved via the returned child
+    validity bitmap — ``np.asarray`` on a nullable child would silently
+    turn nulls into NaN / INT64_MIN garbage, violating the lossless
+    contract."""
     if pa.types.is_fixed_size_list(arr.type) or pa.types.is_large_list(arr.type):
         arr = arr.cast(pa.list_(arr.type.value_type))
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
-    child = np.asarray(arr.values, dtype=npdt)
     lo = int(offs[0]) if offs.size else 0
     hi = int(offs[-1]) if offs.size else 0
-    return np.diff(offs), child[lo:hi]
+    child = arr.values.slice(lo, hi - lo)
+    if child.null_count:
+        child_valid = np.asarray(child.is_valid())
+        vals = np.asarray(child.drop_null(), dtype=npdt)
+    else:
+        child_valid = None
+        vals = np.asarray(child, dtype=npdt)
+    return np.diff(offs), vals, child_valid
 
 
 def _string_block(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -141,6 +155,7 @@ _NUM_ENC = {
     "chimpn": L.chimpn_block_encode,
     "gorilla": L.gorilla_block_encode,
     "patas": L.patas_block_encode,
+    "bss": L.bss_encode,
 }
 _NUM_DEC = {
     "plain": L.plain_decode,
@@ -156,6 +171,7 @@ _NUM_DEC = {
     "chimpn": L.chimpn_block_decode,
     "gorilla": L.gorilla_block_decode,
     "patas": L.patas_block_decode,
+    "bss": L.bss_decode,
 }
 
 _STR_ENC = {
@@ -213,6 +229,7 @@ def encode_chunk(
 
     reason = ""
     stat_min = stat_max = None
+    flags_child = False
     if n_valid == 0 and dtype != "bool" and not dtype.startswith("list_"):
         # nothing to encode: several codecs (rle/delta/const/for/dec)
         # require at least one value; plain handles zero values for
@@ -228,15 +245,38 @@ def encode_chunk(
             codec, reason = choose_codec_str(offs, data, cache)
         payload = _encode_str_payload(codec, offs, data, dense, cache)
     elif dtype.startswith("list_"):
-        # embedding-style list<numeric>: lengths FOR-bitpacked + flat
-        # values plain (random embeddings don't compress; the win is
-        # typed framing + lineage + null handling at scale)
-        lens, vals = _list_block(dense, _NUMPY_OF[dtype[5:]])
-        codec = "list_plain"
+        # embedding-style list<numeric>: lengths FOR-bitpacked, flat
+        # values through the numeric codec suite (auto-selected, so
+        # f32 embeddings get byte-stream split, int lists get FOR/delta)
+        inner_dt = dtype[5:]
+        lens, vals, child_valid = _list_block(dense, _NUMPY_OF[inner_dt])
+        if codec in ("auto", "list_plain", "list_block"):
+            if vals.size:
+                inner, reason = choose_codec(vals, inner_dt)
+            else:
+                inner, reason = "plain", "empty"
+        else:
+            inner, reason = codec, f"requested={codec}"
+        try:
+            inner_payload = _NUM_ENC[inner](vals)
+        except L.NotDecimalError:
+            inner = "xor_split" if inner_dt == "f64" else "bss"
+            reason += ";dec_for_fallback"
+            inner_payload = _NUM_ENC[inner](vals)
+        codec = "list_block"
         raw_bytes = int(vals.nbytes) + 4 * n
         checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
         lens_blob = L.for_bitpack_encode(lens) if lens.size else b""
-        payload = struct.pack("<I", len(lens_blob)) + lens_blob + vals.tobytes()
+        head_parts = [
+            struct.pack("<BI", L.CODEC_IDS[inner], len(lens_blob)),
+            lens_blob,
+        ]
+        if child_valid is not None:
+            head_parts.append(struct.pack("<I", child_valid.size))
+            head_parts.append(np.packbits(child_valid, bitorder="little").tobytes())
+        payload = b"".join(head_parts) + inner_payload
+        flags_child = child_valid is not None
+        reason = f"inner={inner};{reason}" if reason else f"inner={inner}"
     else:
         npdt = _NUMPY_OF[dtype]
         if dtype == "bool":
@@ -272,7 +312,7 @@ def encode_chunk(
         else:
             stat_min = stat_max = None
 
-    flags = 1 if has_nulls else 0
+    flags = (1 if has_nulls else 0) | (2 if flags_child else 0)
     head = MAGIC + struct.pack(
         "<BBBBII", L.CODEC_IDS[codec], DTYPE_IDS[dtype], flags, 0, n, n_valid
     )
@@ -318,7 +358,7 @@ def checksum_of(arr: pa.Array) -> int:
         _offs, data = _string_block(dense)
         return zlib.crc32(data) ^ n
     if dtype.startswith("list_"):
-        _lens, vals = _list_block(dense, _NUMPY_OF[dtype[5:]])
+        _lens, vals, _cv = _list_block(dense, _NUMPY_OF[dtype[5:]])
         return zlib.crc32(np.ascontiguousarray(vals)) ^ n
     npdt = _NUMPY_OF[dtype]
     if pa.types.is_timestamp(dense.type) or pa.types.is_date32(dense.type):
@@ -354,14 +394,37 @@ def decode_chunk(blob: bytes | memoryview, arrow_type: pa.DataType | None = None
         return _build_string_array(arrow_type, n, valid, offs, data)
     if dtype.startswith("list_"):
         npdt = _NUMPY_OF[dtype[5:]]
-        lens_sz = struct.unpack_from("<I", payload, 0)[0]
+        if codec == "list_plain":  # legacy layout: values always plain
+            lens_sz = struct.unpack_from("<I", payload, 0)[0]
+            lens = (
+                L.for_bitpack_decode(payload[4 : 4 + lens_sz], n_valid, np.int64)
+                if n_valid
+                else np.zeros(0, dtype=np.int64)
+            )
+            vals = np.frombuffer(payload[4 + lens_sz :], dtype=npdt)
+            return _build_list_array(arrow_type, n, valid, lens, vals, None)
+        inner_id, lens_sz = struct.unpack_from("<BI", payload, 0)
+        pos_l = 5
         lens = (
-            L.for_bitpack_decode(payload[4 : 4 + lens_sz], n_valid, np.int64)
+            L.for_bitpack_decode(payload[pos_l : pos_l + lens_sz], n_valid, np.int64)
             if n_valid
             else np.zeros(0, dtype=np.int64)
         )
-        vals = np.frombuffer(payload[4 + lens_sz :], dtype=npdt)
-        return _build_list_array(arrow_type, n, valid, lens, vals)
+        pos_l += lens_sz
+        child_valid = None
+        n_child_valid = int(lens.sum()) if lens.size else 0
+        if flags & 2:
+            n_child = struct.unpack_from("<I", payload, pos_l)[0]
+            pos_l += 4
+            cb = (n_child + 7) >> 3
+            child_valid = np.unpackbits(
+                np.frombuffer(payload[pos_l : pos_l + cb], dtype=np.uint8),
+                bitorder="little", count=n_child,
+            ).astype(bool)
+            pos_l += cb
+            n_child_valid = int(np.count_nonzero(child_valid))
+        vals = _NUM_DEC[L.CODEC_NAMES[inner_id]](payload[pos_l:], n_child_valid, npdt)
+        return _build_list_array(arrow_type, n, valid, lens, vals, child_valid)
     if dtype == "bool":
         vals = np.unpackbits(
             np.frombuffer(payload, dtype=np.uint8), bitorder="little", count=n_valid
@@ -401,6 +464,12 @@ def _build_string_array(
         full_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=full_offs[1:])
         validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    if full_offs.size and full_offs[-1] > np.iinfo(np.int32).max:
+        # silently-wrapped offsets would mis-slice every string past 2 GiB
+        raise ValueError(
+            f"string chunk payload {full_offs[-1]} bytes overflows int32 "
+            "offsets; re-encode with smaller chunk_rows"
+        )
     off32 = full_offs.astype(np.int32)
     return pa.Array.from_buffers(
         t, n,
@@ -409,7 +478,8 @@ def _build_string_array(
 
 
 def _build_list_array(
-    t: pa.DataType, n: int, valid: np.ndarray | None, lens: np.ndarray, vals: np.ndarray
+    t: pa.DataType, n: int, valid: np.ndarray | None, lens: np.ndarray,
+    vals: np.ndarray, child_valid: np.ndarray | None,
 ) -> pa.Array:
     if valid is None:
         full_lens = lens
@@ -418,9 +488,20 @@ def _build_list_array(
         full_lens = np.zeros(n, dtype=np.int64)
         full_lens[valid] = lens
         validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
-    offs = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(full_lens, out=offs[1:])
-    child = pa.array(vals, type=t.value_type)
+    offs64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(full_lens, out=offs64[1:])
+    if offs64[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"list chunk child count {offs64[-1]} overflows int32 offsets; "
+            "re-encode with smaller chunk_rows"
+        )
+    offs = offs64.astype(np.int32)
+    if child_valid is None:
+        child = pa.array(vals, type=t.value_type)
+    else:
+        full = np.zeros(child_valid.size, dtype=vals.dtype)
+        full[child_valid] = vals
+        child = pa.array(full, type=t.value_type, mask=~child_valid)
     return pa.Array.from_buffers(
         t, n, [validity_buf, pa.py_buffer(offs.tobytes())], children=[child]
     )

@@ -30,7 +30,7 @@ SPEED = {
     "rle": 1.2, "xor_split": 1.6, "patas": 2.5, "chimp": 3.0,
     "chimpn": 4.0, "gorilla": 4.5, "ts_chimp": 3.0,
     "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0, "dec_for": 1.3,
-    "gcd_for": 1.25,
+    "gcd_for": 1.25, "bss": 3.0,
 }
 
 
@@ -84,8 +84,12 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         cands["chimp"] = len(L.chimp_block_encode(sample))
         cands["patas"] = len(L.patas_block_encode(sample))
         cands["chimpn"] = len(L.chimpn_block_encode(sample))
+        cands["bss"] = len(L.bss_encode(sample))
     elif dtype == "f32":
-        pass  # plain/rle only for now (XOR family is 64-bit)
+        # XOR family is 64-bit (lib.rs:44-50); f32 embedding payloads
+        # go through byte-stream split (exponent/sign lanes deflate,
+        # incompressible mantissa lanes stay raw per-lane)
+        cands["bss"] = len(L.bss_encode(sample))
     elif dtype in ("ts_us", "ts_ns"):
         cands["ts_chimp"] = len(L.ts_chimp_encode(sample))
         cands["delta_bp"] = len(L.delta_bp_encode(sample))

@@ -216,6 +216,31 @@ def test_resume_after_partial_failure(spark, tmp_path):
     assert dec.count() == df.count()
 
 
+def test_batch_resume_ignores_streaming_epochs(spark, tmp_path):
+    """Streaming commits restart part_id at 0 every micro-batch; batch
+    resume must NOT treat those ids as completed source partitions
+    (data loss on mixed streaming+batch tables)."""
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(4).cache()
+    df.count()
+    root = str(tmp_path / "enc_mixed")
+    t = engine.EncodedTable(root)
+
+    # a streaming micro-batch commit covering part_ids 0..3 (epoch 0)
+    enc_stream = engine.encode_dataframe(
+        df, ["c_custkey"], chunk_rows=512, table_name="customer"
+    )
+    t.commit(spark, enc_stream, "customer", epoch=0)
+    assert t.completed_part_ids("customer") == set()  # epoch rows excluded
+    assert t.committed_epochs("customer") == {0}
+
+    # batch encode with resume=True must still encode ALL 4 partitions
+    stats = engine.encode_and_commit(
+        spark, df, root, "customer", columns=["c_custkey"],
+        chunk_rows=512, resume=True,
+    )
+    assert stats["partitions"] == 4
+
+
 def test_zone_map_pruning(spark):
     """Range-partitioned encode -> decode_column(value_range=...) must
     skip non-overlapping chunks (zone maps) and return exact results."""

@@ -199,7 +199,7 @@ def test_frame_list_float32():
     )
     blob, meta = framing.encode_chunk(emb, codec="auto")
     out = framing.decode_chunk(blob, emb.type)
-    assert meta.codec == "list_plain" and meta.dtype == "list_f32"
+    assert meta.codec == "list_block" and meta.dtype == "list_f32"
     assert out.is_valid().equals(emb.is_valid())
     a = np.asarray(out.drop_null().values, dtype=np.float32).view(np.uint32)
     b = np.asarray(emb.drop_null().values, dtype=np.float32).view(np.uint32)
@@ -212,6 +212,88 @@ def test_frame_list_i64():
     blob, meta = framing.encode_chunk(arr)
     out = framing.decode_chunk(blob, arr.type)
     assert out.equals(arr)
+
+
+def test_frame_list_inner_nulls_roundtrip():
+    """Element-level nulls inside lists must round-trip exactly (the
+    np.asarray path would silently turn them into NaN / INT64_MIN)."""
+    cases = [
+        pa.array([[1.0, None, 3.0]], type=pa.list_(pa.float64())),
+        pa.array([[1, None, 3], None, [7, None]], type=pa.list_(pa.int64())),
+        pa.array([[None, None], [0.5]], type=pa.list_(pa.float32())),
+    ]
+    for arr in cases:
+        blob, meta = framing.encode_chunk(arr, codec="auto")
+        out = framing.decode_chunk(blob, arr.type)
+        assert out.equals(arr), (arr, out)
+        assert framing.checksum_of(out) == meta.checksum
+
+
+def test_bss_f32_roundtrip_and_selection():
+    """Byte-stream split is the f32 production codec: bit-exact on
+    random data (NaN/inf/-0.0 included), selected for f32 chunks, and
+    >= 1.5x on fp16-quantized embeddings (zeroed mantissa tail)."""
+    vals = (rng.standard_normal(20000) / 8).astype(np.float32)
+    vals[::97] = np.nan
+    vals[1::97] = np.inf
+    vals[2::97] = -0.0
+    blob = framing.encode_chunk(pa.array(vals), codec="bss")[0]
+    out = np.asarray(framing.decode_chunk(blob, pa.float32()))
+    np.testing.assert_array_equal(out.view(np.uint32), vals.view(np.uint32))
+
+    _, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+    assert meta.codec == "bss", meta.reason
+
+    # list<f32> embeddings route values through bss
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(vals[:19968]), 64).cast(
+        pa.list_(pa.float32())
+    )
+    blob, meta = framing.encode_chunk(emb, codec="auto")
+    assert meta.codec == "list_block" and "inner=bss" in meta.reason
+    out = framing.decode_chunk(blob, emb.type)
+    np.testing.assert_array_equal(  # bitwise: NaN payloads included
+        np.asarray(out.values, dtype=np.float32).view(np.uint32),
+        np.asarray(emb.values, dtype=np.float32).view(np.uint32),
+    )
+
+    # fp16-upcast (quantized) embeddings: the realistic stored form
+    q = rng.standard_normal(64 * 2000).astype(np.float16).astype(np.float32)
+    qa = pa.FixedSizeListArray.from_arrays(pa.array(q), 64).cast(pa.list_(pa.float32()))
+    blob, meta = framing.encode_chunk(qa, codec="auto")
+    assert framing.decode_chunk(blob, qa.type).equals(qa)
+    assert meta.raw_bytes / meta.enc_bytes > 1.5, meta.raw_bytes / meta.enc_bytes
+
+
+def test_patas_truncation_pure_python_matches_native():
+    """A frame truncated mid-payload must raise EOFError on BOTH the C
+    path and the pure-Python fallback, never decode a wrong value."""
+    import os
+
+    from chimp_spark.codecs import xor_ref as X
+
+    # hand-built stream: first value (8B), record1 meta+6B payload,
+    # record2 meta CLAIMING sig_bytes=8 with only zero-padding left —
+    # its payload read would cross the buffer end (p+sig > nbytes)
+    buf = (
+        np.float64(100.0).view(np.uint64).byteswap().tobytes()
+        + bytes([0x01, 0x40])  # meta: idx=0 sig=6 trail=0
+        + b"\x11\x22\x33\x44\x55\x66"  # 6 payload bytes
+        + bytes([0x01, 0xC0])  # meta: idx=0 sig=8 trail=0 -> needs 8B
+        + b"\x00" * 6  # word padding only: payload is MISSING
+    )
+    assert len(buf) == 24
+    words_cut = np.frombuffer(buf, dtype=">u8").astype("=u8")
+    from chimp_spark import _native
+
+    for force_py in (False, True):
+        saved = _native._FUNCS
+        try:
+            if force_py:
+                _native._FUNCS = {}
+            with pytest.raises(EOFError):
+                X.patas_decode(words_cut, n_values=3)
+        finally:
+            _native._FUNCS = saved
 
 
 def test_dec_for_decimal_floats():
