@@ -257,6 +257,67 @@ long pack_hdr_pay(
     return pos;
 }
 
+/* FSST greedy longest-match compressor, hash-indexed (the fast path).
+   Long symbols (len>=3) chain in a 4096-bucket hash on their first 3
+   bytes, descending length; len-2 and len-1 symbols resolve via direct
+   lookup tables. Longest-match semantics identical to the chain
+   matcher below (first full memcmp hit in a desc-length bucket IS the
+   longest same-prefix symbol; a len>=3 hit always beats short tables). */
+long fsst_compress_block2(
+    const uint8_t* data, const int64_t* str_offs, long n_strings,
+    const uint8_t* syms, const int32_t* lens, int n_syms,
+    uint8_t* out, int64_t* out_lens)
+{
+    int16_t hhead[4096]; int16_t hnxt[256];
+    int16_t s2[65536]; int16_t s1[256];
+    for (int i = 0; i < 4096; i++) hhead[i] = -1;
+    memset(s2, -1, sizeof(s2));
+    memset(s1, -1, sizeof(s1));
+    for (int pass_len = 3; pass_len <= 8; pass_len++) {
+        for (int s = n_syms - 1; s >= 0; s--) {
+            if (lens[s] != pass_len) continue;
+            uint32_t x = ((uint32_t)syms[s*8] << 16) | ((uint32_t)syms[s*8+1] << 8) | syms[s*8+2];
+            uint32_t h = (x * 2654435761u) >> 20;
+            hnxt[s] = hhead[h];
+            hhead[h] = (int16_t)s;
+        }
+    }
+    for (int s = 0; s < n_syms; s++) {
+        if (lens[s] == 2) s2[((int)syms[s*8] << 8) | syms[s*8+1]] = (int16_t)s;
+        else if (lens[s] == 1) s1[syms[s*8]] = (int16_t)s;
+    }
+    long op = 0;
+    for (long si = 0; si < n_strings; si++) {
+        long p = str_offs[si], e = str_offs[si + 1];
+        long start = op;
+        while (p < e) {
+            long rem = e - p;
+            int best = -1;
+            if (rem >= 3) {
+                uint32_t x = ((uint32_t)data[p] << 16) | ((uint32_t)data[p+1] << 8) | data[p+2];
+                uint32_t h = (x * 2654435761u) >> 20;
+                for (int16_t s = hhead[h]; s >= 0; s = hnxt[s]) {
+                    int L = lens[s];
+                    if (L <= rem && memcmp(data + p, syms + s * 8, L) == 0) {
+                        best = s; break;
+                    }
+                }
+            }
+            if (best < 0 && rem >= 2) best = s2[((int)data[p] << 8) | data[p+1]];
+            if (best < 0) best = s1[data[p]];
+            if (best >= 0) {
+                out[op++] = (uint8_t)best;
+                p += lens[best];
+            } else {
+                out[op++] = 255;
+                out[op++] = data[p++];
+            }
+        }
+        out_lens[si] = op - start;
+    }
+    return op;
+}
+
 /* FSST greedy longest-match compressor over a block of strings.
    syms: n_syms * 8 bytes (padded); lens: per-symbol length 1..8.
    str_offs: n_strings+1 offsets into data. out must hold 2*data_len.
@@ -357,10 +418,12 @@ def _build() -> dict | None:
     lib.pack_hdr_pay.argtypes = [
         ctypes.c_uint64, u64p, i64p, u64p, i64p, ctypes.c_long, u64p,
     ]
-    lib.fsst_compress_block.restype = ctypes.c_long
-    lib.fsst_compress_block.argtypes = [
-        u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
-    ]
+    for fname in ("fsst_compress_block", "fsst_compress_block2"):
+        fn = getattr(lib, fname)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
+        ]
     return {
         "prev_same_lsb": lib.prev_same_lsb,
         "xs_enc": lib.xs_enc,
@@ -371,6 +434,7 @@ def _build() -> dict | None:
         "gorilla_dec": lib.gorilla_dec,
         "patas_dec": lib.patas_dec,
         "fsst_compress_block": lib.fsst_compress_block,
+        "fsst_compress_block2": lib.fsst_compress_block2,
     }
 
 

@@ -172,7 +172,26 @@ def train(sample: list[bytes]) -> list[bytes]:
     np.cumsum([len(s) for s in pruned], out=offsets[1:])
 
     symbols: list[bytes] = []
-    for _ in range(_GENERATIONS):
+    for gen in range(_GENERATIONS):
+        if gen == 0:
+            # generation 0 (empty table): every token is a raw byte, so
+            # token/pair counting is two bincounts — no compressor pass
+            counts = Counter()
+            singles = np.bincount(data, minlength=256)
+            for b in np.flatnonzero(singles):
+                counts[bytes((int(b),))] = int(singles[b])
+            if data.size > 1:
+                pair_ids = data[:-1].astype(np.int32) * 256 + data[1:]
+                # drop pairs straddling string boundaries
+                boundary = np.zeros(data.size - 1, dtype=bool)
+                inner_ends = offsets[1:-1] - 1
+                boundary[inner_ends[(inner_ends >= 0) & (inner_ends < data.size - 1)]] = True
+                pc = np.bincount(pair_ids[~boundary], minlength=65536)
+                for key in np.flatnonzero(pc):
+                    counts[bytes((int(key) >> 8, int(key) & 255))] = int(pc[key])
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
+            symbols = [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+            continue
         counts = _count_tokens_pairs_native(offsets, data, symbols)
         if counts is None:  # pure-Python fallback (no C toolchain)
             pattern, _code_of = _compile(symbols)
@@ -191,6 +210,27 @@ def train(sample: list[bytes]) -> list[bytes]:
     return symbols
 
 
+_PREP_MEMO: dict[int, tuple] = {}  # id(symbols) -> (ref, mat, lens32)
+
+
+def _prepared(symbols: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Memoized (padded symbol matrix, lengths) for the C compressor —
+    rebuilt once per trained table instead of once per call."""
+    hit = _PREP_MEMO.get(id(symbols))
+    if hit is not None and hit[0] is symbols:
+        return hit[1], hit[2]
+    syms_mat = np.zeros((max(len(symbols), 1), 8), dtype=np.uint8)
+    lens32 = np.zeros(max(len(symbols), 1), dtype=np.int32)
+    for i, sym in enumerate(symbols):
+        syms_mat[i, : len(sym)] = np.frombuffer(sym, dtype=np.uint8)
+        lens32[i] = len(sym)
+    flat = syms_mat.ravel()
+    if len(_PREP_MEMO) >= 64:
+        _PREP_MEMO.clear()
+    _PREP_MEMO[id(symbols)] = (symbols, flat, lens32)
+    return flat, lens32
+
+
 def compress_strings(
     offsets: np.ndarray, data: np.ndarray, symbols: list[bytes]
 ) -> tuple[np.ndarray, bytes]:
@@ -201,17 +241,13 @@ def compress_strings(
     nat = _native.get()
     if nat is not None and symbols:
         n_str = offsets.size - 1
-        syms_mat = np.zeros((max(len(symbols), 1), 8), dtype=np.uint8)
-        lens32 = np.zeros(max(len(symbols), 1), dtype=np.int32)
-        for i, sym in enumerate(symbols):
-            syms_mat[i, : len(sym)] = np.frombuffer(sym, dtype=np.uint8)
-            lens32[i] = len(sym)
+        syms_flat, lens32 = _prepared(symbols)
         data_c = np.ascontiguousarray(data, dtype=np.uint8)
         offs_c = np.ascontiguousarray(offsets, dtype=np.int64)
         out = np.empty(2 * max(int(data.size), 1), dtype=np.uint8)
         out_lens = np.empty(max(n_str, 1), dtype=np.int64)
-        total = nat["fsst_compress_block"](
-            data_c, offs_c, n_str, syms_mat.ravel(), lens32, len(symbols), out, out_lens
+        total = nat["fsst_compress_block2"](
+            data_c, offs_c, n_str, syms_flat, lens32, len(symbols), out, out_lens
         )
         return out_lens[:n_str], out[:total].tobytes()
 

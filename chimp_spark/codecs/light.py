@@ -114,24 +114,29 @@ def for_bitpack_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
 def gcd_for_encode(vals: np.ndarray) -> bytes:
     iv = vals.astype(np.int64, copy=False)
     lo = int(iv.min())
-    rel = iv - lo
+    # (iv - lo) can exceed int64 range (e.g. min=-2^62, max=2^62); the
+    # int64 subtraction wraps, so reinterpret as uint64 — the wrapped
+    # bit pattern IS the true unsigned distance
+    rel = (iv - lo).view(np.uint64)
     g = int(np.gcd.reduce(rel)) if rel.size else 0
     if g <= 1:
         g = 1
-    scaled = rel // g if g > 1 else rel
+    scaled = rel // np.uint64(g) if g > 1 else rel
     width = int(scaled.max()).bit_length() if scaled.size else 0
-    header = struct.pack("<qqB", lo, g, width)
+    header = struct.pack("<qQB", lo, g, width)
     if width == 0:
         return header
-    return header + bitpack(scaled.astype(np.uint64), width)
+    return header + bitpack(scaled, width)
 
 
 def gcd_for_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
-    lo, g, width = struct.unpack_from("<qqB", buf, 0)
+    lo, g, width = struct.unpack_from("<qQB", buf, 0)
     if width == 0:
         return np.full(n, lo, dtype=dtype)
-    rel = bitunpack(buf[17:], n, width).astype(np.int64)
-    return (rel * g + lo).astype(dtype, copy=False)
+    rel = bitunpack(buf[17:], n, width)
+    # uint64 multiply + two's-complement wrap-add of lo inverts encode
+    out = (rel * np.uint64(g)).view(np.int64) + np.int64(lo)
+    return out.astype(dtype, copy=False)
 
 
 # ---------------------------------------------------------------------------

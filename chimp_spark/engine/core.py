@@ -122,7 +122,9 @@ def encode_dataframe(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         state = {"chunk_id": 0, "row_start": 0}
-        col_caches: dict[str, dict] = {c: {} for c in cols}
+        from ..framing import column_cache
+
+        col_caches: dict[str, dict] = {c: column_cache(table_name, c) for c in cols}
 
         def flush(tbl: pa.Table) -> pa.RecordBatch:
             out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}

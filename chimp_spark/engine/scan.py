@@ -30,15 +30,35 @@ from .core import DEFAULT_CHUNK_ROWS, ENC_ARROW_SCHEMA, ENC_DDL
 from ..framing import encode_chunk
 
 
-def parquet_work_units(paths: list[str]) -> list[tuple[int, str, int]]:
-    """(unit_id, file, row_group) list for a set of parquet files."""
+def parquet_work_units(
+    paths: list[str], spark: SparkSession | None = None
+) -> list[tuple[int, str, int]]:
+    """(unit_id, file, row_group) list for a set of parquet files.
+
+    Footer reads are distributed as a Spark job once the file count is
+    large (a 100 TB table is ~10^5 files — serial driver-side opens
+    would take minutes); unit ids stay deterministic (sorted paths),
+    so resume keys don't depend on where footers were read."""
     import pyarrow.parquet as pq
+
+    ordered = sorted(paths)
+    if spark is not None and len(ordered) > 64:
+        sc = spark.sparkContext
+
+        def rg_count(path: str) -> tuple[str, int]:
+            import pyarrow.parquet as _pq
+
+            return path, _pq.ParquetFile(path).metadata.num_row_groups
+
+        slices = min(len(ordered), sc.defaultParallelism * 4)
+        counts = dict(sc.parallelize(ordered, slices).map(rg_count).collect())
+    else:
+        counts = {p: pq.ParquetFile(p).metadata.num_row_groups for p in ordered}
 
     units: list[tuple[int, str, int]] = []
     uid = 0
-    for path in sorted(paths):
-        md = pq.ParquetFile(path).metadata
-        for rg in range(md.num_row_groups):
+    for path in ordered:
+        for rg in range(counts[path]):
             units.append((uid, path, rg))
             uid += 1
     return units
@@ -52,8 +72,13 @@ def encode_parquet(
     chunk_rows: int = DEFAULT_CHUNK_ROWS,
     table_name: str = "t",
     num_slices: int | None = None,
+    skip_part_ids: set[int] | None = None,
 ) -> DataFrame:
-    """Encoded-chunk DataFrame, reading row groups directly via Arrow."""
+    """Encoded-chunk DataFrame, reading row groups directly via Arrow.
+
+    ``skip_part_ids`` (unit ids already committed — see
+    EncodedTable.completed_part_ids) enables resume at row-group
+    granularity: unit ids are deterministic for a given file set."""
     from .. import _ship
 
     _ship.ensure(spark)
@@ -68,7 +93,9 @@ def encode_parquet(
     import uuid
 
     run_id = uuid.uuid4().hex[:12]
-    units = parquet_work_units(paths)
+    units = parquet_work_units(paths, spark)
+    if skip_part_ids:
+        units = [u for u in units if u[0] not in skip_part_ids]
     if not units:
         return spark.createDataFrame([], ENC_DDL)
     n_slices = num_slices or min(len(units), spark.sparkContext.defaultParallelism * 2)
@@ -82,6 +109,8 @@ def encode_parquet(
         import time as _time
 
         import pyarrow.parquet as pq
+
+        from ..framing import column_cache
 
         col_caches: dict[str, dict] = {}
 
@@ -102,7 +131,10 @@ def encode_parquet(
                     for col in sl.column_names:
                         arr = sl.column(col).combine_chunks()
                         t0 = _time.perf_counter_ns()
-                        blob, meta = encode_chunk(arr, codec=codec_of(col), cache=col_caches.setdefault(col, {}))
+                        blob, meta = encode_chunk(
+                            arr, codec=codec_of(col),
+                            cache=col_caches.setdefault(col, column_cache(table_name, col)),
+                        )
                         out["encode_ns"].append(_time.perf_counter_ns() - t0)
                         out["table"].append(table_name)
                         out["run_id"].append(run_id)

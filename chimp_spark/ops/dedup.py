@@ -313,14 +313,34 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash_params(n_docs: int, max_hamming: int = 3) -> dict:
+    """Corpus-size-aware SimHash configuration.
+
+    Pigeonhole needs ``max_hamming + 1`` disjoint bands; expected
+    spurious collisions per band are ~n^2 / 2^band_bits, so the band
+    key must be >= 2*log2(n) bits to keep bucket joins linear. A
+    64-bit signature caps bands at 16 bits — fine to ~10^6 docs; past
+    that, use one 64-bit word PER BAND (multi-word signature)."""
+    if n_docs <= 1 << 20:
+        return {"words": 1}
+    return {"words": max_hamming + 1}
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    words: int = 1,
 ) -> DataFrame:
-    """64-bit SimHash over word hashes (vectorized popcount-style sum)."""
+    """SimHash over word hashes (vectorized popcount-style sum).
+
+    ``words`` 64-bit words are computed from independently re-mixed
+    token hashes -> a ``words*64``-bit signature. words=1 keeps the
+    classic 64-bit shape; words=max_hamming+1 gives 64-bit band keys
+    for web-scale corpora (see simhash_params)."""
     from .. import _ship
 
     _ship.ensure(df.sparkSession)
     sel = df.select(id_col, text_col)
+    wseeds = _splitmix64(np.arange(101, 101 + words, dtype=np.uint64))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -328,44 +348,68 @@ def simhash_signatures(
             word_h, doc_off = _tokenize_batch(b.column(1))
             ndocs = b.num_rows
             nw = np.diff(doc_off)
-            out = np.zeros(ndocs, dtype=np.uint64)
+            out = np.zeros((ndocs, words), dtype=np.uint64)
             nz = np.flatnonzero(nw > 0)
             if word_h.size and nz.size:
                 starts = doc_off[:-1][nz]  # non-empty docs only (see
                 # minhash_signatures: clamped starts split segments)
-                for bit in range(64):
-                    ones = ((word_h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-                    votes = np.add.reduceat(ones, starts)
-                    out[nz] |= np.uint64(1 << bit) * (2 * votes > nw[nz])
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array((out >> np.uint64(1)).astype(np.int64))],
-                names=["id", "simhash"],
-            )
+                for w in range(words):
+                    wh = word_h if w == 0 else _splitmix64(word_h ^ wseeds[w])
+                    for bit in range(64):
+                        ones = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                        votes = np.add.reduceat(ones, starts)
+                        out[nz, w] |= np.uint64(1 << bit) * (2 * votes > nw[nz])
+            sig = pa.FixedSizeListArray.from_arrays(
+                pa.array((out >> np.uint64(1)).astype(np.int64).ravel()), words
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays([ids, sig], names=["id", "simhash"])
 
-    return sel.mapInArrow(kernel, "id long, simhash long")
+    return sel.mapInArrow(kernel, "id long, simhash array<long>")
 
 
-def simhash_candidate_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Bucket by 4x16-bit sub-keys (pigeonhole: Hamming<=3 pairs share
-    a sub-key), verify exact Hamming distance with bit ops."""
-    parts = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"k{i}")
-        for i in range(4)
-    ]
-    keyed = sigs.select("id", "simhash", *parts)
+def simhash_candidate_pairs(
+    sigs: DataFrame, max_hamming: int = 3, bands: int | None = None
+) -> DataFrame:
+    """Bucket by disjoint signature bands (pigeonhole: Hamming <=
+    max_hamming pairs share at least one of max_hamming+1 bands),
+    verify exact Hamming distance with bit ops.
+
+    Single-word signatures band into ``bands`` (default
+    max_hamming+1) sub-keys of 64/bands bits; multi-word signatures
+    use one whole 64-bit word per band — the web-scale shape where
+    bucket sizes stay O(1) at 10^9+ docs."""
+    nb = bands or (max_hamming + 1)
+    sig = F.col("simhash")
+    keyed = sigs.select("id", "simhash")
+    nwords = F.size(sig)
+    # band keys: multi-word -> one whole word per band; single-word ->
+    # 64/nb-bit slices of word 0
+    width = 64 // nb
     pairs = None
-    for i in range(4):
-        l = keyed.alias("l")
-        r = keyed.alias("r")
+    for i in range(nb):
+        if width >= 64:
+            slice0 = F.element_at(sig, 1)  # single band = whole word
+        else:
+            slice0 = F.shiftrightunsigned(F.element_at(sig, 1), width * i).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+        band_key = F.when(
+            nwords > 1, F.element_at(sig, (F.lit(i) % nwords + 1).cast("int"))
+        ).otherwise(slice0)
+        k = keyed.withColumn("bk", band_key)
+        l = k.alias("l")
+        r = k.alias("r")
         p = l.join(
-            r,
-            (F.col(f"l.k{i}") == F.col(f"r.k{i}")) & (F.col("l.id") < F.col("r.id")),
+            r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id"))
         ).select(
             F.col("l.id").alias("a"), F.col("r.id").alias("b"),
             F.col("l.simhash").alias("sa"), F.col("r.simhash").alias("sb"),
         )
         pairs = p if pairs is None else pairs.unionAll(p)
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    ham = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0), lambda acc, x: acc + x,
+    )
     return (
         pairs.distinct()
         .withColumn("hamming", ham)

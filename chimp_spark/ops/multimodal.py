@@ -48,7 +48,95 @@ def _decode_audio_stub(payload: bytes, sample_rate: int, duration_ms: int) -> np
     return (rng.standard_normal(n) * 0.1).astype(np.float32)
 
 
-DECODERS = {"image": _decode_image_stub, "audio": _decode_audio_stub}
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL container-format header parse (no image libs needed):
+    (mime, width, height) for JPEG/PNG/GIF bytes, None if unknown.
+
+    Public formats: PNG IHDR (RFC 2083 §3.1), JPEG SOFn segments
+    (ITU T.81 §B.2.2), GIF logical screen descriptor."""
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return ("image/png", w, h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("image/gif", w, h)
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        pos = 2
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if marker in sof and pos + 9 <= len(payload):
+                h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                return ("image/jpeg", w, h)
+            pos += 2 + seg_len
+        return ("image/jpeg", 0, 0)
+    return None
+
+
+def _pillow_or_none():
+    """Feature-flagged real decoder: Pillow when importable (not in
+    this container), else None -> callers fall back to the stub."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode via Pillow when available; deterministic stub
+    otherwise (documented — the sandbox ships no media libs)."""
+    pil = _pillow_or_none()
+    if pil is not None:
+        import io
+
+        return np.asarray(pil.open(io.BytesIO(payload)).convert("RGB"))
+    return _decode_image_stub(payload, width, height)
+
+
+DECODERS = {"image": decode_image, "audio": _decode_audio_stub}
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """Extract (mime, width, height) from REAL payload bytes via
+    container-header parsing — no decode, no image libs; one Arrow
+    batch at a time. Unknown formats yield nulls."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("media_id")
+            payloads = b.column("payload")
+            mimes, ws, hs = [], [], []
+            for i in range(b.num_rows):
+                parsed = parse_image_header(payloads[i].as_py() or b"")
+                if parsed is None:
+                    mimes.append(None), ws.append(None), hs.append(None)
+                else:
+                    mimes.append(parsed[0]), ws.append(parsed[1]), hs.append(parsed[2])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(mimes, pa.string()), pa.array(ws, pa.int32()),
+                 pa.array(hs, pa.int32())],
+                names=["media_id", "mime", "width", "height"],
+            )
+
+    return df.select("media_id", "payload").mapInArrow(
+        kernel, "media_id long, mime string, width int, height int"
+    )
 
 
 def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
@@ -68,7 +156,7 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
             hs = b.column("height")
             feats = []
             for i in range(b.num_rows):
-                img = _decode_image_stub(
+                img = decode_image(
                     payloads[i].as_py(), ws[i].as_py(), hs[i].as_py()
                 )
                 # nearest-neighbor resize via index striding (real)

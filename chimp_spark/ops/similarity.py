@@ -71,7 +71,22 @@ def rp_signatures(
         for b in batches:
             ids = b.column(0)
             vecs = b.column(1)
-            flat = np.asarray(vecs.values, dtype=np.float32)
+            if vecs.null_count:
+                raise ValueError("rp_signatures: null embeddings unsupported")
+            arr = vecs.cast(pa.list_(pa.float32()))
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            lens = np.diff(offs)
+            if lens.size and not (lens == dim).all():
+                raise ValueError(
+                    f"rp_signatures: ragged embeddings (expected dim {dim}, "
+                    f"got lengths {np.unique(lens)[:5]})"
+                )
+            child = arr.values.slice(int(offs[0]) if offs.size else 0, int(lens.sum()))
+            if child.null_count:
+                raise ValueError("rp_signatures: null embedding elements unsupported")
+            flat = np.asarray(child, dtype=np.float32)
             mat = flat.reshape(b.num_rows, dim) if b.num_rows else flat.reshape(0, dim)
             proj = mat @ planes.T  # (n, nbits)
             sig = ((proj > 0) @ weights).astype(np.int64)
@@ -80,42 +95,65 @@ def rp_signatures(
     return sel.mapInArrow(kernel, "id long, bucket long")
 
 
+def ann_params(n_vectors: int, target_bucket: int = 256, tables: int = 4) -> dict:
+    """Corpus-size-aware ANN configuration: nbits so the expected
+    bucket holds ~target_bucket vectors (n / 2^nbits), and several
+    independent tables to recover the recall a single random-hyperplane
+    table loses as buckets shrink. 10^12 vectors / 256-bucket target ->
+    nbits=32, tables>=4."""
+    import math
+
+    nbits = max(4, int(math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
+    return {"nbits": nbits, "tables": tables}
+
+
 def lsh_bucketed_topk(
     df: DataFrame, query: list[float], k: int = 10, nbits: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
-    multiprobe: int = 1,
+    multiprobe: int = 1, tables: int = 1,
 ) -> DataFrame:
     """ANN: probe the query's bucket (+ single-bit-flip neighbors up to
-    ``multiprobe`` flips) and rank exactly within it."""
+    ``multiprobe`` flips) in each of ``tables`` independent hyperplane
+    tables, union the candidates, rank exactly within them. Recall at
+    a given corpus size is tuned with (nbits, tables) — see ann_params."""
     dim = len(query)
-    planes = _hyperplanes(dim, nbits, seed)
-    qsig = int(((np.asarray(query, dtype=np.float32) @ planes.T) > 0)
-               @ (1 << np.arange(nbits, dtype=np.int64)))
-    probes = {qsig}
-    if multiprobe >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(nbits)}
-    sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed)
-    cand_ids = sigs.filter(F.col("bucket").isin(sorted(probes))).select(
-        F.col("id").alias(id_col)
-    )
-    cands = df.join(cand_ids, id_col)  # AQE broadcasts the small side
+    cand_ids = None
+    for t in range(tables):
+        tseed = seed + 1009 * t
+        planes = _hyperplanes(dim, nbits, tseed)
+        qsig = int(((np.asarray(query, dtype=np.float32) @ planes.T) > 0)
+                   @ (1 << np.arange(nbits, dtype=np.int64)))
+        probes = {qsig}
+        if multiprobe >= 1:
+            probes |= {qsig ^ (1 << b) for b in range(nbits)}
+        sigs = rp_signatures(df, dim, nbits, id_col, vec_col, tseed)
+        ids_t = sigs.filter(F.col("bucket").isin(sorted(probes))).select(
+            F.col("id").alias(id_col)
+        )
+        cand_ids = ids_t if cand_ids is None else cand_ids.unionAll(ids_t)
+    cands = df.join(cand_ids.distinct(), id_col)  # AQE broadcasts the small side
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, nbits: int = 12, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+    tables: int = 1,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket equi-join -> exact cosine
-    verify (array ops). Bucket join bounds the candidate set; at scale
-    use more bits / several independent tables."""
-    sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed)
-    pairs = (
-        sigs.alias("l")
-        .join(sigs.alias("r"),
-              (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-    )
+    verify (array ops). Bucket join bounds the candidate set; scale
+    recall/cost with (nbits, tables) — see ann_params."""
+    pairs = None
+    for t in range(tables):
+        sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed + 1009 * t)
+        p = (
+            sigs.alias("l")
+            .join(sigs.alias("r"),
+                  (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.distinct()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     j = (
         pairs.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")

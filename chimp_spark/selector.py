@@ -22,6 +22,8 @@ from .codecs import fsst
 from .codecs import light as L
 
 _SAMPLE = 4096
+_SAMPLE_STR = 256  # string trials re-compress real payload bytes —
+# 2x256 strings bounds the per-chunk trial cost while staying unbiased
 ALPHA = 0.05
 
 # relative encode+decode cost ranks (measured order of magnitude)
@@ -34,11 +36,11 @@ SPEED = {
 }
 
 
-def _sample_slices(n: int) -> list[slice]:
-    if n <= 2 * _SAMPLE:
+def _sample_slices(n: int, size: int = _SAMPLE) -> list[slice]:
+    if n <= 2 * size:
         return [slice(0, n)]
     mid = n // 2
-    return [slice(0, _SAMPLE), slice(mid, mid + _SAMPLE)]
+    return [slice(0, size), slice(mid, mid + size)]
 
 
 def _score(nbytes: int, codec: str) -> float:
@@ -122,7 +124,7 @@ def choose_codec_string(
         return "const", "all-equal"
 
     # sample string block
-    sl = _sample_slices(n)
+    sl = _sample_slices(n, _SAMPLE_STR)
     s_idx = np.concatenate([np.arange(s.start, s.stop, dtype=np.int64) for s in sl])
     soffs, sdata = L.gather_strings(offs, data, s_idx)
     m = s_idx.size
@@ -147,6 +149,16 @@ def choose_codec_string(
     avg_len = float(sdata.size) / max(m, 1)
     if avg_len >= 8 and card > m // 4:
         syms = cache.get("fsst_symbols") if cache is not None else None
+        if syms is None:
+            # train ONCE per (task, column): the trial's table is the
+            # one the payload encode (and all later chunks) will reuse
+            raw_b = sdata.tobytes()
+            step = max(1, m // 256)
+            syms = fsst.train(
+                [raw_b[int(soffs[i]) : int(soffs[i + 1])] for i in range(0, m, step)]
+            )
+            if cache is not None:
+                cache["fsst_symbols"] = syms
         cands["fsst"] = len(fsst.encode(soffs, sdata, symbols=syms))
     return _pick(cands, raw)
 

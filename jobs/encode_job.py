@@ -37,9 +37,12 @@ def main() -> None:
     p.add_argument("--salt-buckets", type=int, default=8)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--scan", action="store_true",
-                   help="bulk-ingest fast path: read parquet row groups "
-                        "directly via Arrow (skips Spark row conversion; "
-                        "layout flags don't apply)")
+                   help="force the bulk-ingest fast path (it is already "
+                        "the DEFAULT for parquet inputs without layout "
+                        "flags): read parquet row groups directly via "
+                        "Arrow, skipping Spark row conversion")
+    p.add_argument("--no-scan", action="store_true",
+                   help="force the generic DataFrame encode path")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,14 +57,26 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
 
-    if args.scan:
+    # the scan path (direct Arrow row-group reads, no JVM row
+    # conversion — measured ~80% of DataFrame-path encode wall) is the
+    # default for plain parquet ingests; layout flags imply a shuffle,
+    # which only the DataFrame path expresses
+    use_scan = args.scan or (
+        not args.no_scan and not args.salt_key and not args.range_key
+        and not args.partitions
+    )
+    if use_scan:
         from chimp_spark.engine import EncodedTable, encode_parquet
 
+        t = EncodedTable(args.output)
+        done = t.completed_part_ids(args.table) if not args.no_resume else None
         cols = args.columns.split(",") if args.columns else None
         enc = encode_parquet(spark, args.input, columns=cols, codec=args.codec,
-                             chunk_rows=args.chunk_rows, table_name=args.table)
-        stats = EncodedTable(args.output).commit(spark, enc, args.table)
-        print(json.dumps({"job": "encode-scan", "table": args.table, **stats}))
+                             chunk_rows=args.chunk_rows, table_name=args.table,
+                             skip_part_ids=done)
+        stats = t.commit(spark, enc, args.table)
+        print(json.dumps({"job": "encode-scan", "table": args.table,
+                          "resumed_units": len(done or ()), **stats}))
         spark.stop()
         return
 

@@ -280,3 +280,31 @@ def test_encode_parquet_multifile_dir(spark, tmp_path):
     lhs = df.select("o_orderkey", "o_totalprice")
     assert lhs.exceptAll(dec.select("o_orderkey", "o_totalprice")).isEmpty()
     assert dec.count() == df.count()
+
+
+def test_encode_parquet_scan_resume(spark, tmp_path):
+    """Scan-path resume: commit a subset of work units, then rerun with
+    skip_part_ids — only the remaining units encode, and the union
+    decodes to the full table."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src = str(tmp_path / "many")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "enc")
+    t = engine.EncodedTable(root)
+
+    part1 = engine.encode_parquet(spark, src, columns=["o_orderkey"],
+                                  table_name="orders").filter(F.col("part_id") < 2)
+    t.commit(spark, part1, "orders")
+    done = t.completed_part_ids("orders")
+    assert done == {0, 1}
+
+    part2 = engine.encode_parquet(spark, src, columns=["o_orderkey"],
+                                  table_name="orders", skip_part_ids=done)
+    assert set(r["part_id"] for r in part2.select("part_id").distinct().collect()) == {2, 3}
+    t.commit(spark, part2, "orders")
+
+    enc_all = t.read(spark)
+    dec = engine.decode_column(enc_all, "o_orderkey", "long")
+    assert dec.count() == df.count()
+    lhs = df.select(F.col("o_orderkey").alias("value"))
+    assert lhs.exceptAll(dec.select("value")).isEmpty()

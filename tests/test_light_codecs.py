@@ -214,6 +214,24 @@ def test_frame_list_i64():
     assert out.equals(arr)
 
 
+def test_gcd_for_range_exceeding_int64():
+    """Regression (hypothesis-found): value range > int64 max wrapped
+    rel negative -> width 0 -> every value silently decoded as min."""
+    import numpy as _np
+
+    for vals in (
+        _np.array([1 << 62, -(1 << 62)], dtype=_np.int64),
+        _np.array([-(1 << 62), (1 << 62) - 4, 0, 4], dtype=_np.int64),
+        _np.array([_np.iinfo(_np.int64).min, _np.iinfo(_np.int64).max], dtype=_np.int64),
+    ):
+        buf = L.gcd_for_encode(vals)
+        out = L.gcd_for_decode(memoryview(buf), vals.size, _np.int64)
+        _np.testing.assert_array_equal(out, vals)
+        buf = L.for_bitpack_encode(vals)
+        out = L.for_bitpack_decode(memoryview(buf), vals.size, _np.int64)
+        _np.testing.assert_array_equal(out, vals)
+
+
 def test_frame_list_inner_nulls_roundtrip():
     """Element-level nulls inside lists must round-trip exactly (the
     np.asarray path would silently turn them into NaN / INT64_MIN)."""

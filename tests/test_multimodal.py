@@ -47,6 +47,53 @@ def test_audio_frames(spark, media):
     assert all(np.isfinite(r["rms"]) and r["rms"] >= 0 for r in rows)
 
 
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal real JPEG container: SOI + SOF0 (ITU T.81 B.2.2) + EOI."""
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    )
+    return b"\xff\xd8" + sof + b"\xff\xd9"
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\0\0\0\0"
+    )
+
+
+def test_image_header_parse_real_bytes(spark):
+    """Header parsing runs on REAL container bytes (JPEG SOF0, PNG
+    IHDR, GIF LSD) — no stub involved."""
+    assert M.parse_image_header(_jpeg_bytes(320, 240)) == ("image/jpeg", 320, 240)
+    assert M.parse_image_header(_png_bytes(64, 48)) == ("image/png", 64, 48)
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    assert M.parse_image_header(gif + b"\0" * 4) == ("image/gif", 12, 34)
+    assert M.parse_image_header(b"not an image at all") is None
+
+    rows = [
+        (1, _jpeg_bytes(100, 50)), (2, _png_bytes(7, 9)), (3, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: (r["mime"], r["width"], r["height"])
+           for r in M.image_metadata(df).collect()}
+    assert out[1] == ("image/jpeg", 100, 50)
+    assert out[2] == ("image/png", 7, 9)
+    assert out[3] == (None, None, None)
+
+
+def test_pillow_gate_falls_back_to_stub():
+    """decode_image dispatches to Pillow when importable; in this
+    container it must fall back to the deterministic stub."""
+    img = M.decode_image(b"\x01\x02\x03", 4, 3)
+    assert img.shape == (3, 4, 3) and img.dtype == np.uint8
+    if M._pillow_or_none() is None:
+        img2 = M.decode_image(b"\x01\x02\x03", 4, 3)
+        np.testing.assert_array_equal(img, img2)
+
+
 def test_media_encodes_through_engine(spark, media):
     """Binary payload columns flow through the codec engine like any
     other column (opaque binary + typed metadata)."""

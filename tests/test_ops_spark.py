@@ -97,6 +97,24 @@ def test_simhash_pairs(spark, docs):
     assert expected <= found  # identical docs -> identical simhash
 
 
+def test_simhash_multiword_web_scale(spark, docs):
+    """simhash_params picks multi-word signatures past ~10^6 docs:
+    one 64-bit word per band keeps bucket joins linear at 10^9+.
+    Identical docs must still collide on every band."""
+    p = dedup.simhash_params(2_000_000_000, max_hamming=3)
+    assert p["words"] == 4
+    assert dedup.simhash_params(10_000)["words"] == 1
+    base = docs.limit(30).cache()
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    sigs = dedup.simhash_signatures(base.unionAll(dup), words=p["words"])
+    assert len(sigs.limit(1).collect()[0]["simhash"]) == 4
+    pairs = dedup.simhash_candidate_pairs(sigs, max_hamming=0).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    expected = {(r["doc_id"], r["doc_id"] + 10_000) for r in base.collect()}
+    assert expected <= found
+    assert all(r["hamming"] == 0 for r in pairs if (r["a"], r["b"]) in expected)
+
+
 def test_text_features(spark, docs):
     out = text.quality_score(docs).select("doc_id", "n_tokens", "quality", "stopword_ratio")
     rows = out.collect()
@@ -144,6 +162,54 @@ def test_lsh_topk_recall(spark, embeddings):
         ann = [r["vec_id"] for r in similarity.lsh_bucketed_topk(embeddings, q, k=3, nbits=6).collect()]
         hits += len(set(exact[:1]) & set(ann))
     assert hits >= 4  # top-1 recall >= 80% with multiprobe
+
+def test_multi_table_ann_recall_pinned(spark, embeddings):
+    """Recall >= 0.9 against cosine_topk ground truth at two corpus
+    sizes, with planted near-neighbors (cos ~0.995) — the regime ANN
+    is actually used in. A single narrow table misses these once
+    buckets shrink; ann_params' multi-table setting must recover them."""
+    base = embeddings.collect()
+    rng_ = np.random.default_rng(3)
+    for mult in (1, 4):  # two corpus sizes (n and 4n)
+        rows = []
+        vid = 0
+        for rep in range(mult):
+            for r in base:
+                v = np.asarray(r["embedding"], dtype=np.float32)
+                if rep:  # fill with decoys: permuted vectors
+                    v = v[rng_.permutation(v.size)]
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        # plant 3 near-dups of the first 4 vectors
+        planted = {}
+        for qi in range(4):
+            q = np.asarray(rows[qi][1], dtype=np.float32)
+            ids = []
+            for j in range(3):
+                noise = rng_.standard_normal(q.size).astype(np.float32) * 0.01
+                rows.append((vid, [float(x) for x in (q + noise)]))
+                ids.append(vid)
+                vid += 1
+            planted[qi] = ids
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+        n = df.count()
+        params = similarity.ann_params(n, target_bucket=64)
+        hits = want = 0
+        for qi, ids in planted.items():
+            q = rows[qi][1]
+            exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+            assert set(ids) <= set(exact)  # ground truth sanity
+            ann = [
+                r["vec_id"]
+                for r in similarity.lsh_bucketed_topk(
+                    df, q, k=4, nbits=params["nbits"], tables=params["tables"]
+                ).collect()
+            ]
+            hits += len(set(exact) & set(ann))
+            want += 4
+        assert hits / want >= 0.9, f"recall {hits}/{want} at corpus {n}"
+        df.unpersist()
+
 
 def test_embedding_near_dups(spark, embeddings):
     dup = embeddings.withColumn("vec_id", F.col("vec_id") + 100_000)
