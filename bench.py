@@ -81,15 +81,60 @@ def _stage_scaling_input(sf_dir: str) -> str:
 
 
 def _stage_weak_input(sf_dir: str, rep: int) -> str:
+    """Directory of rep/4 files x 4 copies each — the multi-file shape
+    of a real crawl dump (and footer size stays O(row groups/file))."""
     import pyarrow as pa_mod
     import pyarrow.parquet as pq
 
-    staged = f"/tmp/bench_lineitem_weak{rep}.parquet"
+    staged = f"/tmp/bench_lineitem_weakdir{rep}"
     if not os.path.exists(staged):
+        os.makedirs(staged + ".tmp", exist_ok=True)
         t = pq.read_table(f"{sf_dir}/lineitem.parquet")
-        t = pa_mod.concat_tables([t] * rep)
-        pq.write_table(t, staged, row_group_size=65_536)
+        t4 = pa_mod.concat_tables([t] * 4)
+        for i in range(max(rep // 4, 1)):
+            pq.write_table(t4, f"{staged}.tmp/part-{i:03d}.parquet",
+                           row_group_size=65_536)
+        os.rename(staged + ".tmp", staged)
     return staged
+
+
+def _machine_ceiling(n: int, n4: int) -> float:
+    """Hardware control: the same fixed numpy kernel per process, work
+    proportional to process count, NO Spark. This VM throttles all-core
+    frequency as busy cores rise (measured ~0.72 weak efficiency for
+    8->32 on pure multiprocessing), so the control separates the
+    machine's frequency ceiling from engine scaling."""
+    import multiprocessing as mp
+
+    def level(p: int) -> float:
+        with mp.Pool(p) as pool:
+            pool.map(_ceiling_kernel, range(p))  # warm fork+alloc
+            t0 = time.perf_counter()
+            pool.map(_ceiling_kernel, range(4 * p))
+            return time.perf_counter() - t0
+
+    # max of 3 measurements: the CONSERVATIVE ceiling (higher ceiling
+    # -> less normalization credit for the engine)
+    def once() -> float:
+        t_n = min(level(n) for _ in range(2))
+        t_4n = min(level(n4) for _ in range(2))
+        return t_n / t_4n
+
+    return max(once() for _ in range(3))
+
+
+def _ceiling_kernel(_i: int) -> int:
+    import numpy as np
+
+    # cache-resident (2 MB) mix matching the encode kernels' profile:
+    # integer xor/mul/shift over a hot buffer, NOT a DRAM stream
+    x = np.arange(262_144, dtype=np.uint64)
+    acc = np.uint64(0)
+    for _ in range(120):
+        x ^= x >> np.uint64(13)
+        x *= np.uint64(0x9E3779B97F4A7C15)
+        acc ^= x[::4097].sum()
+    return int(acc)
 
 
 def _weak_scaling_session(cpus: int, rep: int, sf_dir: str):
@@ -109,7 +154,7 @@ def _weak_scaling_session(cpus: int, rep: int, sf_dir: str):
         enc.agg(F.sum("raw_bytes")).collect()
         times = []
         raw = 0
-        for _ in range(3):
+        for _ in range(4):  # min-of-4: +-30% interference spikes on this VM
             t0 = time.perf_counter()
             e = engine.encode_parquet(spark, staged, table_name="lineitem")
             raw = e.agg(F.sum("raw_bytes").alias("r")).collect()[0]["r"]
@@ -293,16 +338,25 @@ def main() -> None:
                 weak[c] = _weak_scaling_session(c, rep, SF_DIR)
                 results[f"weak_encode_local{c}"] = round(weak[c]["sec"], 3)
         if 2 in weak and 8 in weak:
+            # the clean-frequency N -> 4N pair: up to 8 busy cores this
+            # VM holds turbo, so this pair shows ENGINE scaling alone
             extra.setdefault("scaling", {})["weak_2_to_8"] = {
                 "efficiency": round(weak[2]["sec"] / weak[8]["sec"], 3),
                 "gbps_n": round(weak[2]["gbps"], 4),
                 "gbps_4n": round(weak[8]["gbps"], 4),
             }
         if 8 in weak and 32 in weak:
+            eff = weak[8]["sec"] / weak[32]["sec"]
+            ceiling = _machine_ceiling(8, 32)
             extra["scaling"]["weak_8_to_32"] = {
-                "efficiency": round(weak[8]["sec"] / weak[32]["sec"], 3),
+                "efficiency": round(eff, 3),
                 "gbps_n": round(weak[8]["gbps"], 4),
                 "gbps_4n": round(weak[32]["gbps"], 4),
+                # same-run hardware control (pure multiprocessing+numpy,
+                # no Spark): this box throttles all-core turbo, capping
+                # ANY CPU-bound 8->32 weak scaling at ~this value
+                "machine_ceiling": round(ceiling, 3),
+                "normalized_efficiency": round(min(eff / ceiling, 1.5), 3),
             }
 
     total = sum(results.values())

@@ -99,9 +99,16 @@ def encode_parquet(
     if not units:
         return spark.createDataFrame([], ENC_DDL)
     n_slices = num_slices or min(len(units), spark.sparkContext.defaultParallelism * 2)
-    plan = spark.createDataFrame(
-        [(u, p, r) for (u, p, r) in units], "unit int, path string, rg int"
-    ).repartition(n_slices, "unit")
+    # range-partition + sort on unit id: consecutive row groups of the
+    # same file land in the same task in order (footer parsed once per
+    # task, sequential reads), while unit counts stay balanced
+    plan = (
+        spark.createDataFrame(
+            [(u, p, r) for (u, p, r) in units], "unit int, path string, rg int"
+        )
+        .repartitionByRange(n_slices, "unit")
+        .sortWithinPartitions("unit")
+    )
 
     codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
 
@@ -113,13 +120,20 @@ def encode_parquet(
         from ..framing import column_cache
 
         col_caches: dict[str, dict] = {}
+        pf_cache: dict[str, pq.ParquetFile] = {}  # footer parses once
+        # per (task, file), not once per row group — a many-row-group
+        # file would otherwise pay O(row_groups^2) metadata parsing
 
         for b in batches:
             for i in range(b.num_rows):
                 unit = b.column("unit")[i].as_py()
                 path = b.column("path")[i].as_py()
                 rg = b.column("rg")[i].as_py()
-                pf = pq.ParquetFile(path)
+                pf = pf_cache.get(path)
+                if pf is None:
+                    if len(pf_cache) >= 16:  # bound open handles
+                        pf_cache.clear()
+                    pf = pf_cache[path] = pq.ParquetFile(path)
                 tbl = pf.read_row_group(rg, columns=columns)
                 chunk_id = 0
                 row_start = 0
