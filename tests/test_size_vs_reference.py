@@ -57,3 +57,40 @@ def test_auto_frame_not_larger_than_reference(table, column):
     np.testing.assert_array_equal(
         np.asarray(out, dtype=np.float64).view(np.uint64), bits
     )
+
+
+def _city_temperature_like(n_cities: int = 40, days: int = 400, seed: int = 11) -> np.ndarray:
+    """Synthesize the reference's stripped city_temperature.csv shape
+    (main.rs:17-28: AvgTemperature, one decimal place, seasonal series
+    per city) — widens parity evidence beyond SSD_HDD_benchmarks.csv."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for c in range(n_cities):
+        base = rng.uniform(-5, 25)
+        amp = rng.uniform(5, 20)
+        t = np.arange(days)
+        series = base + amp * np.sin(2 * np.pi * (t + rng.uniform(0, 365)) / 365.25)
+        series += rng.normal(0, 2.0, days)
+        out.append(np.round(series, 1))  # one decimal, like the CSV
+    # CSV-parsed text never yields -0.0; rounding negatives near zero
+    # does — normalize (+0.0 == -0.0 + 0.0) to match the CSV shape
+    return np.concatenate(out) + 0.0
+
+
+def test_auto_beats_reference_on_city_temperature_series():
+    """Low-decimal seasonal temperatures: the reference's best codec
+    vs our auto selection (dec_for should detect the 1-decimal grid
+    and win outright), decode bit-identical."""
+    import pyarrow as pa
+
+    vals = _city_temperature_like()
+    bits = vals.view(np.uint64)
+    ref_bytes, ref_codec = _reference_best_bytes(bits)
+    blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+    assert meta.enc_bytes <= ref_bytes, (
+        f"ours={meta.enc_bytes} ({meta.codec}) > ref={ref_bytes} ({ref_codec})"
+    )
+    assert meta.codec == "dec_for", meta.reason  # 1-decimal grid detected
+    assert meta.enc_bytes * 8 / meta.n < 14  # ~half the best XOR codec
+    out = framing.decode_chunk(blob, pa.float64())
+    np.testing.assert_array_equal(np.asarray(out).view(np.uint64), bits)
