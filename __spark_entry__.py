@@ -76,10 +76,11 @@ _LINEITEM_DDL = (
 def _q1_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary computed over DECODED columns
     (auto-selected codecs per column), proving multi-column alignment
-    and lossless semantics through a real aggregation plan."""
-    df = _read(spark, sf_dir, "lineitem")
-    enc = engine.encode_dataframe(
-        df, _LINEITEM_COLS, codec="auto", chunk_rows=_CHUNK, table_name="lineitem"
+    and lossless semantics through a real aggregation plan. Encode goes
+    through the production scan path (direct Arrow row-group reads)."""
+    enc = engine.encode_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", columns=_LINEITEM_COLS,
+        codec="auto", chunk_rows=_CHUNK, table_name="lineitem",
     )
     dec = engine.decode_table(enc, _LINEITEM_COLS, _LINEITEM_DDL)
     return (

@@ -296,6 +296,9 @@ def encode(offsets: np.ndarray, data: np.ndarray, symbols: list[bytes] | None = 
 
 def table_of(buf: memoryview) -> list[bytes]:
     """Read the symbol table back out of an encoded payload header."""
+    buf = memoryview(buf)
+    if buf.format != "B":
+        buf = buf.cast("B")  # signed-char views desync byte indexing
     n_syms = buf[0]
     pos = 1
     out = []
@@ -310,6 +313,8 @@ def table_of(buf: memoryview) -> list[bytes]:
 def decode(buf: memoryview, n_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized decode -> (offsets, data) string block."""
     buf = memoryview(buf)
+    if buf.format != "B":
+        buf = buf.cast("B")  # signed-char views desync byte indexing
     n_syms = buf[0]
     pos = 1
     table = np.zeros((256, MAX_SYM_LEN), dtype=np.uint8)

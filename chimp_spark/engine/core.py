@@ -215,7 +215,8 @@ def decode_column(
             frames = b.column("frame")
             sums = b.column("checksum")
             for i in range(b.num_rows):
-                raw = decode_chunk(frames[i].as_py())
+                # as_buffer(): zero-copy view into the arrow batch
+                raw = decode_chunk(memoryview(frames[i].as_buffer()))
                 if verify_checksums and checksum_of(raw) != sums[i].as_py():
                     raise ValueError(
                         f"checksum mismatch: part={pids[i]} row_start={starts[i]}"
@@ -317,7 +318,8 @@ def decode_table(
                 group_key = key
                 group_meta = (key[1], b.column("row_start")[i].as_py())
                 col_name = b.column("column")[i].as_py()
-                group[col_name] = b.column("frame")[i].as_py()
+                # zero-copy: the arrow buffer stays alive via refcount
+                group[col_name] = memoryview(b.column("frame")[i].as_buffer())
                 sums[col_name] = b.column("checksum")[i].as_py()
         if group:
             yield emit()

@@ -390,6 +390,10 @@ def checksum_of(arr: pa.Array) -> int:
 def decode_chunk(blob: bytes | memoryview, arrow_type: pa.DataType | None = None) -> pa.Array:
     """Decompress a frame back to an arrow array (nulls restored)."""
     buf = memoryview(blob)
+    if buf.format != "B":
+        # pa.Buffer memoryviews are format 'b' (SIGNED char): byte
+        # indexing would return negative ints and desync header parses
+        buf = buf.cast("B")
     if bytes(buf[:4]) != MAGIC:
         raise ValueError("bad chunk magic")
     codec_id, dtype_id, flags, _pad, n, n_valid = struct.unpack_from("<BBBBII", buf, 4)
