@@ -239,11 +239,33 @@ def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID distribution (rows-only)."""
+    """Stopword-heuristic language ID distribution; the oracle mirrors
+    the exact argmax/tie-break logic in DuckDB list lambdas."""
     from chimp_spark.ops import text as T
 
     df = _read(spark, sf_dir, "documents")
-    return T.lang_id(df).groupBy("lang_pred").count()
+    return T.lang_id(df).groupBy("lang_pred").agg(F.count("*").alias("cnt"))
+
+
+def _lang_id_oracle() -> str:
+    from chimp_spark.ops.text import STOPWORDS
+
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(w, x -> x IN ({lst}))) AS s_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ",".join(f"s_{la}" for la in langs) + ")"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sc AS (SELECT doc_id, {", ".join(score_cols)} FROM toks)
+SELECT {case} AS lang_pred, COUNT(*) AS cnt FROM sc GROUP BY 1
+"""
 
 
 def _zone_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,4 +475,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_documents": _MINHASH_ORACLE,
         "text_stats_documents": _TEXT_STATS_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
+        "lang_id_documents": _lang_id_oracle(),
     }
