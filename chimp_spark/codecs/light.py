@@ -46,9 +46,19 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
 
 
 def bitunpack(buf: memoryview | bytes, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`bitpack` — one vectorized gather."""
+    """Inverse of :func:`bitpack` — C fixed-width walk when available,
+    else one vectorized numpy gather."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None:
+        nwords = (n * width + 63) >> 6
+        raw = np.frombuffer(buf, dtype=np.uint8, count=nwords * 8)
+        out = np.empty(n, dtype=np.uint64)
+        nat["bu_fixed"](np.ascontiguousarray(raw), n, width, out)
+        return out
     words = np.frombuffer(buf, dtype=">u8", count=(n * width + 63) >> 6).astype("=u8")
     offsets = np.arange(n, dtype=np.uint64) * _U64(width)
     return unpack_fields(words, offsets, np.full(n, width, dtype=np.uint64))
