@@ -265,6 +265,25 @@ static inline uint64_t ld_be(const uint8_t* p) {
     uint64_t v; memcpy(&v, p, 8); return __builtin_bswap64(v);
 }
 
+/* Fixed-width bit-field pack into host-endian words (caller zeroes
+   out_words and byteswaps to big-endian in one vector op). */
+void bp_fixed(const uint64_t* vals, long n, int width, uint64_t* out_words) {
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    long pos = 0;
+    for (long i = 0; i < n; i++) {
+        uint64_t v = vals[i] & mask;
+        long idx = pos >> 6; int s = 64 - (int)(pos & 63);
+        if (width <= s) {
+            out_words[idx] |= v << (s - width);
+        } else {
+            int rest = width - s;
+            out_words[idx] |= v >> rest;
+            out_words[idx + 1] |= v << (64 - rest);
+        }
+        pos += width;
+    }
+}
+
 void bu_fixed(const uint8_t* buf, long n, int width, uint64_t* out) {
     uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
     long pos = 0;
@@ -438,6 +457,8 @@ def _build() -> dict | None:
     lib.prev_same_lsb.argtypes = [u64p, ctypes.c_long, ctypes.c_int64, i64p]
     lib.bu_fixed.restype = None
     lib.bu_fixed.argtypes = [u8p, ctypes.c_long, ctypes.c_int, u64p]
+    lib.bp_fixed.restype = None
+    lib.bp_fixed.argtypes = [u64p, ctypes.c_long, ctypes.c_int, u64p]
     lib.xs_enc.restype = ctypes.c_long
     lib.xs_enc.argtypes = [u64p, ctypes.c_long, u8p, u8p]
     lib.xs_dec.restype = ctypes.c_long
@@ -455,6 +476,7 @@ def _build() -> dict | None:
     return {
         "prev_same_lsb": lib.prev_same_lsb,
         "bu_fixed": lib.bu_fixed,
+        "bp_fixed": lib.bp_fixed,
         "xs_enc": lib.xs_enc,
         "xs_dec": lib.xs_dec,
         "pack_hdr_pay": lib.pack_hdr_pay,

@@ -38,6 +38,15 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
         return b""
     total = n * width
     nwords = (total + 63) >> 6
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None:
+        out = np.zeros(nwords + 1, dtype=np.uint64)
+        nat["bp_fixed"](
+            np.ascontiguousarray(values, dtype=np.uint64), n, width, out
+        )
+        return out[:nwords].astype(">u8").tobytes()
     out = np.zeros(nwords + 1, dtype=np.uint64)
     offsets = np.arange(n, dtype=np.int64) * width
     scatter_bits(out, offsets, values.astype(np.uint64, copy=False),
@@ -224,13 +233,19 @@ class NotDecimalError(ValueError):
     pass
 
 
-def dec_for_detect(vals: np.ndarray, max_k: int = 4) -> int | None:
+def dec_for_detect(vals: np.ndarray, max_k: int = 4, k_hint: int | None = None) -> int | None:
     """Smallest k (0..max_k) such that vals == round(vals*10^k)/10^k
-    bit-exactly; None if no k works."""
+    bit-exactly; None if no k works. ``k_hint`` (e.g. from a sampled
+    detection) is verified first — it's still a full bit-exact check,
+    just skipping the scan over smaller k."""
     if vals.size == 0 or not np.isfinite(vals).all():
         return None
     bits = vals.view(np.uint64)
-    for k in range(0, max_k + 1):
+    ks = list(range(0, max_k + 1))
+    if k_hint is not None and k_hint in ks:
+        ks.remove(k_hint)
+        ks.insert(0, k_hint)
+    for k in ks:
         mult = np.float64(10.0**k)
         iv = np.round(vals * mult)
         if np.abs(iv).max() >= 2**53:
@@ -243,10 +258,10 @@ def dec_for_detect(vals: np.ndarray, max_k: int = 4) -> int | None:
     return None
 
 
-def dec_for_encode(vals: np.ndarray) -> bytes:
+def dec_for_encode(vals: np.ndarray, k_hint: int | None = None) -> bytes:
     """<u8 k><u8 inner: 0=FOR,1=delta> + int blob. Raises
     NotDecimalError when the chunk is not exactly decimal."""
-    k = dec_for_detect(vals)
+    k = dec_for_detect(vals, k_hint=k_hint)
     if k is None:
         raise NotDecimalError("chunk is not decimal-representable")
     iv = np.round(vals * np.float64(10.0**k)).astype(np.int64)

@@ -80,13 +80,18 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         cands["rle"] = len(L.rle_encode(sample))
 
     if dtype in ("f64",):
-        if L.dec_for_detect(sample) is not None:
-            cands["dec_for"] = len(L.dec_for_encode(sample))
-        cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
-        cands["chimp"] = len(L.chimp_block_encode(sample))
-        cands["patas"] = len(L.patas_block_encode(sample))
-        cands["chimpn"] = len(L.chimpn_block_encode(sample))
-        cands["bss"] = len(L.bss_encode(sample))
+        k = L.dec_for_detect(sample)
+        if k is not None:
+            # decimal chunks: dec_for (FOR over small scaled ints) beats
+            # every XOR-family/bss candidate by 2x+ — skip their trials
+            cands["dec_for"] = len(L.dec_for_encode(sample, k_hint=k))
+            cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
+        else:
+            cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
+            cands["chimp"] = len(L.chimp_block_encode(sample))
+            cands["patas"] = len(L.patas_block_encode(sample))
+            cands["chimpn"] = len(L.chimpn_block_encode(sample))
+            cands["bss"] = len(L.bss_encode(sample))
     elif dtype == "f32":
         # XOR family is 64-bit (lib.rs:44-50); f32 embedding payloads
         # go through byte-stream split (exponent/sign lanes deflate,
