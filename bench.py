@@ -267,9 +267,12 @@ def main() -> None:
                                       table_name="lineitem").cache()
         enc.count()
         engine.decode_table(enc, cols, ddl).count()  # warm
-        t0 = time.perf_counter()
-        n = engine.decode_table(enc, cols, ddl).count()
-        dt = time.perf_counter() - t0
+        dts = []
+        for _ in range(3):  # min-of-3: this leg sees the widest spikes
+            t0 = time.perf_counter()
+            n = engine.decode_table(enc, cols, ddl).count()
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
         results["decode_lineitem"] = round(dt, 3)
         raw5 = enc.agg(F.sum("raw_bytes")).collect()[0][0]
         extra["decode"] = {"rows": n, "gbps": round(raw5 / dt / 1e9, 4)}
@@ -318,11 +321,14 @@ def main() -> None:
         laid = partitioning.repartition_salted(pages, "lang", CPUS,
                                                hot_keys=["en"], salt_buckets=8).cache()
         laid.count()
-        t0 = time.perf_counter()
-        enc_p = engine.encode_dataframe(laid, codec="auto", chunk_rows=CHUNK,
-                                        table_name="pages")
-        agg = enc_p.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
-        dt = time.perf_counter() - t0
+        dts = []
+        for _ in range(2):  # first pass doubles as warm-up; min-of-2
+            t0 = time.perf_counter()
+            enc_p = engine.encode_dataframe(laid, codec="auto", chunk_rows=CHUNK,
+                                            table_name="pages")
+            agg = enc_p.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
         results["encode_pages"] = round(dt, 3)
         extra["pages"] = {
             "raw_bytes": agg["r"], "enc_bytes": agg["e"],
@@ -334,6 +340,13 @@ def main() -> None:
         spark.stop()
 
     if DO_SCALING:
+        # stage every scaling input BEFORE any timed level and sync:
+        # staging writes up to ~12 GB, and dirty-page writeback during
+        # a timed level costs it 30-50% throughput
+        _stage_scaling_input(SF_DIR)
+        for _c, _rep in [(2, 16), (8, 64), (32, 256)]:
+            _stage_weak_input(SF_DIR, _rep)
+        os.sync()
         # two N-vs-4N pairs: (2 vs 8) shows the engine's scaling in the
         # regime where this box doesn't throttle all-core frequency;
         # (8 vs 32) is reported too with the machine ceiling noted
@@ -357,12 +370,13 @@ def main() -> None:
                 }
 
     if DO_SCALING:
-        # weak scaling: work ~ cores (rep = 4*cores), sized so every
-        # level runs >= 4s — well above this VM's ~0.4s fixed job
-        # overhead, which a too-small work unit reads as lost
-        # efficiency. Ideal wall constant, efficiency = T_N/T_kN.
+        # weak scaling: work ~ cores (rep = 8*cores), sized so every
+        # level runs >= 4s at current kernel speed — well above this
+        # VM's ~0.4s fixed job overhead, which a too-small work unit
+        # reads as lost efficiency. Ideal wall constant,
+        # efficiency = T_N/T_kN.
         weak = {}
-        for c, rep in [(2, 8), (8, 32), (32, 128)]:
+        for c, rep in [(2, 16), (8, 64), (32, 256)]:
             if c <= CPUS:
                 weak[c] = _weak_scaling_session(c, rep, SF_DIR)
                 results[f"weak_encode_local{c}"] = round(weak[c]["sec"], 3)
