@@ -133,7 +133,10 @@ def encode_dataframe(
             for col in tbl.column_names:
                 arr = tbl.column(col).combine_chunks()
                 t0 = _time.perf_counter_ns()
-                blob, meta = encode_chunk(arr, codec=codec_map[col], cache=col_caches[col])
+                try:
+                    blob, meta = encode_chunk(arr, codec=codec_map[col], cache=col_caches[col])
+                except TypeError as e:
+                    raise TypeError(f"column '{col}': {e}") from e
                 out["encode_ns"].append(_time.perf_counter_ns() - t0)
                 out["table"].append(table_name)
                 out["run_id"].append(run_id)

@@ -145,10 +145,13 @@ def encode_parquet(
                     for col in sl.column_names:
                         arr = sl.column(col).combine_chunks()
                         t0 = _time.perf_counter_ns()
-                        blob, meta = encode_chunk(
-                            arr, codec=codec_of(col),
-                            cache=col_caches.setdefault(col, column_cache(table_name, col)),
-                        )
+                        try:
+                            blob, meta = encode_chunk(
+                                arr, codec=codec_of(col),
+                                cache=col_caches.setdefault(col, column_cache(table_name, col)),
+                            )
+                        except TypeError as e:
+                            raise TypeError(f"column '{col}': {e}") from e
                         out["encode_ns"].append(_time.perf_counter_ns() - t0)
                         out["table"].append(table_name)
                         out["run_id"].append(run_id)
