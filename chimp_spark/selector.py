@@ -37,22 +37,26 @@ SPEED = {
 
 
 def _sample_slices(n: int, size: int = _SAMPLE) -> list[slice]:
+    """head + mid + tail thirds: a head/mid-only sample systematically
+    misreads sorted/clustered chunks (regular deltas at the head,
+    irregular later)."""
     if n <= 2 * size:
         return [slice(0, n)]
+    third = max(size * 2 // 3, 1)
     mid = n // 2
-    return [slice(0, size), slice(mid, mid + size)]
+    return [slice(0, third), slice(mid, mid + third), slice(n - third, n)]
 
 
-def _score(nbytes: int, codec: str) -> float:
+def _score(nbytes: float, codec: str) -> float:
     return nbytes * (1.0 + ALPHA * (SPEED[codec] - 1.0))
 
 
-def _pick(cands: dict[str, int], raw: int) -> tuple[str, str]:
+def _pick(cands: dict[str, float], raw: int) -> tuple[str, str]:
     best = min(cands, key=lambda c: _score(cands[c], c))
     # don't pay a codec that saves <2%
     if best != "plain" and "plain" in cands and cands[best] > 0.98 * cands["plain"]:
         best = "plain"
-    reason = ",".join(f"{c}={cands[c]}" for c in sorted(cands, key=cands.get))
+    reason = ",".join(f"{c}={cands[c]:.0f}" for c in sorted(cands, key=cands.get))
     return best, f"sample_raw={raw};{reason}"
 
 
@@ -69,8 +73,16 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         return "const", "all-equal"
 
     sample = np.concatenate([vals[s] for s in _sample_slices(n)])
+    m = sample.size
     raw = sample.nbytes
-    cands: dict[str, int] = {"plain": raw}
+    cands: dict[str, float] = {"plain": float(raw)}
+
+    def full_trial(enc) -> float:
+        # cheap codecs trial-encode the FULL chunk (C-packed, ~0.2 ms
+        # per 65k values): head+mid samples systematically misjudge
+        # delta widths on sorted/clustered data. Normalized to the
+        # sample's value count so sampled and full sizes compare.
+        return len(enc(vals)) * (m / n)
 
     nruns = int(np.count_nonzero(np.diff(
         sample.view(np.uint64) if dtype == "f64" else
@@ -98,22 +110,24 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
         # incompressible mantissa lanes stay raw per-lane)
         cands["bss"] = len(L.bss_encode(sample))
     elif dtype in ("ts_us", "ts_ns"):
-        cands["ts_chimp"] = len(L.ts_chimp_encode(sample))
-        cands["delta_bp"] = len(L.delta_bp_encode(sample))
-        cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+        # full trials for the whole ts family: sampled thirds still
+        # misjudge chimp's header amortization on clustered timestamps
+        cands["ts_chimp"] = full_trial(L.ts_chimp_encode)
+        cands["delta_bp"] = full_trial(L.delta_bp_encode)
+        cands["for_bitpack"] = full_trial(L.for_bitpack_encode)
         iv = sample.astype(np.int64)
         if iv.size and int(np.gcd.reduce(iv - iv.min())) > 1:
-            cands["gcd_for"] = len(L.gcd_for_encode(sample))
+            cands["gcd_for"] = full_trial(L.gcd_for_encode)
     else:  # integer kinds, date32
         iv = sample.astype(np.int64)
         width = int(iv.max() - iv.min()).bit_length()
         if width <= 56:
-            cands["for_bitpack"] = len(L.for_bitpack_encode(sample))
+            cands["for_bitpack"] = full_trial(L.for_bitpack_encode)
             if int(np.gcd.reduce(iv - iv.min())) > 1:
-                cands["gcd_for"] = len(L.gcd_for_encode(sample))
+                cands["gcd_for"] = full_trial(L.gcd_for_encode)
             dmax = np.abs(np.diff(iv)).max() if iv.size > 1 else 0
             if int(dmax).bit_length() < width:
-                cands["delta_bp"] = len(L.delta_bp_encode(sample))
+                cands["delta_bp"] = full_trial(L.delta_bp_encode)
     return _pick(cands, raw)
 
 
