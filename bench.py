@@ -60,10 +60,10 @@ def _timed_encode(engine, F, df, table: str, warm: bool = True):
 
     if warm:
         one_pass()
-    # min of 2 timed passes: this VM shows sporadic interference spikes
-    a = one_pass()
-    b = one_pass()
-    return a if a[0] <= b[0] else b
+    # min of 3 timed passes: this VM shows sporadic interference spikes
+    # (external host load can slow a single pass 2-8x)
+    passes = [one_pass() for _ in range(3)]
+    return min(passes, key=lambda p: p[0])
 
 
 def _stage_scaling_input(sf_dir: str) -> str:
