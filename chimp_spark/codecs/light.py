@@ -379,7 +379,11 @@ def bss_encode(vals: np.ndarray, level: int = 2) -> bytes:
     <u32 len><bytes>: lane i deflated iff bit i set (raw otherwise)."""
     import zlib
 
+    # lanes are defined over LITTLE-ENDIAN words (the module-wide
+    # payload invariant); on BE hosts this astype byteswaps, on LE
+    # it's a no-op view
     b = np.ascontiguousarray(vals)
+    b = b.astype(b.dtype.newbyteorder("<"), copy=False)
     itemsize = b.dtype.itemsize
     n = b.size
     lanes = b.view(np.uint8).reshape(n, itemsize) if n else np.zeros((0, itemsize), np.uint8)
@@ -410,7 +414,8 @@ def bss_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
         if mask & (1 << i):
             raw = zlib.decompress(raw)
         lanes[:, i] = np.frombuffer(raw, dtype=np.uint8, count=n)
-    return np.ascontiguousarray(lanes).view(dtype).ravel()
+    le = np.ascontiguousarray(lanes).view(np.dtype(dtype).newbyteorder("<")).ravel()
+    return le.astype(dtype, copy=False)  # byteswap only on BE hosts
 
 
 # ---------------------------------------------------------------------------

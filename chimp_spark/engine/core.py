@@ -124,7 +124,12 @@ def encode_dataframe(
         state = {"chunk_id": 0, "row_start": 0}
         from ..framing import column_cache
 
-        col_caches: dict[str, dict] = {c: column_cache(table_name, c) for c in cols}
+        # cache scope includes run_id: reused workers amortize FSST
+        # training across THIS encode call's tasks without leaking a
+        # table trained on some earlier dataset that shared names
+        col_caches: dict[str, dict] = {
+            c: column_cache(f"{table_name}:{run_id}", c) for c in cols
+        }
 
         def flush(tbl: pa.Table) -> pa.RecordBatch:
             out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}

@@ -62,16 +62,23 @@ class EncodedTable:
                 entries.extend(json.loads(line) for line in f if line.strip())
         return entries
 
-    def completed_part_ids(self, table: str) -> set[int]:
+    def completed_part_ids(self, table: str, mode: str | None = None) -> set[int]:
         """Batch-resume partition ids. Streaming commits (epoch set)
         are EXCLUDED: their part_ids restart at 0 each micro-batch and
         must not mask unencoded batch source partitions on a mixed
-        streaming+batch table (streaming dedupe uses committed_epochs)."""
+        streaming+batch table (streaming dedupe uses committed_epochs).
+
+        ``mode`` filters to one part-id namespace: DataFrame-path ids
+        are Spark partition ids ('df') while scan-path ids are
+        row-group unit indices ('scan') — resuming one from the
+        other's entries would silently skip unrelated data. mode=None
+        returns every batch entry (legacy behavior)."""
         return {
             e["part_id"]
             for e in self.manifest_entries()
             if e["table"] == table and e["part_id"] >= 0
             and e.get("committed", True) and e.get("epoch") is None
+            and (mode is None or e.get("mode") == mode)
         }
 
     def data_files(self) -> list[str]:
@@ -87,7 +94,7 @@ class EncodedTable:
         }
 
     def commit(self, spark: SparkSession, encoded: DataFrame, table: str,
-               epoch: int | None = None) -> dict:
+               epoch: int | None = None, mode: str | None = None) -> dict:
         """Write encoded chunks as per-partition parquet files + new
         snapshot. Returns commit stats."""
         os.makedirs(self.data_dir, exist_ok=True)
@@ -125,6 +132,7 @@ class EncodedTable:
                 {
                     "table": table,
                     "epoch": epoch,
+                    "mode": mode,
                     "part_id": pid,
                     "chunks": s["chunks"],
                     "rows": s["rows"],
@@ -180,7 +188,7 @@ class EncodedTable:
         """Resume filter: drop source partitions already committed.
         ``df_with_pid`` must carry a ``__part_id`` column (use
         spark_partition_id() right after the layout repartition)."""
-        done = self.completed_part_ids(table)
+        done = self.completed_part_ids(table, mode="df")
         if not done:
             return df_with_pid
         return df_with_pid.filter(~F.col("__part_id").isin(sorted(done)))
@@ -216,4 +224,4 @@ def encode_and_commit(
                 "resumed": True}
     encoded = encode_dataframe(work.drop("__part_id"), cols, codec=codec,
                                chunk_rows=chunk_rows, table_name=table)
-    return t.commit(spark, encoded, table)
+    return t.commit(spark, encoded, table, mode="df")

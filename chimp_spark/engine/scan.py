@@ -148,7 +148,9 @@ def encode_parquet(
                         try:
                             blob, meta = encode_chunk(
                                 arr, codec=codec_of(col),
-                                cache=col_caches.setdefault(col, column_cache(table_name, col)),
+                                cache=col_caches.setdefault(
+                                    col, column_cache(f"{table_name}:{run_id}", col)
+                                ),
                             )
                         except TypeError as e:
                             raise TypeError(f"column '{col}': {e}") from e

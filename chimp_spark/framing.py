@@ -270,19 +270,24 @@ def encode_chunk(
         # f32 embeddings get byte-stream split, int lists get FOR/delta)
         inner_dt = dtype[5:]
         lens, vals, child_valid = _list_block(dense, _NUMPY_OF[inner_dt])
+        inner_payload = None
         if codec in ("auto", "list_plain", "list_block"):
             if vals.size:
-                inner, reason = choose_codec(vals, inner_dt)
+                picked = choose_codec(vals, inner_dt)
+                inner, reason = picked[0], picked[1]
+                if len(picked) == 3:
+                    inner_payload = picked[2]
             else:
                 inner, reason = "plain", "empty"
         else:
             inner, reason = codec, f"requested={codec}"
-        try:
-            inner_payload = _NUM_ENC[inner](vals)
-        except L.NotDecimalError:
-            inner = "xor_split" if inner_dt == "f64" else "bss"
-            reason += ";dec_for_fallback"
-            inner_payload = _NUM_ENC[inner](vals)
+        if inner_payload is None:
+            try:
+                inner_payload = _NUM_ENC[inner](vals)
+            except L.NotDecimalError:
+                inner = "xor_split" if inner_dt == "f64" else "bss"
+                reason += ";dec_for_fallback"
+                inner_payload = _NUM_ENC[inner](vals)
         codec = "list_block"
         raw_bytes = int(vals.nbytes) + 4 * n
         checksum = zlib.crc32(np.ascontiguousarray(vals)) ^ n
@@ -311,15 +316,19 @@ def encode_chunk(
                 vals = np.asarray(dense)
             vals = np.ascontiguousarray(vals, dtype=npdt)
             if codec == "auto":
-                codec, reason = choose_codec(vals, dtype)
-                try:
-                    payload = _NUM_ENC[codec](vals)
-                except L.NotDecimalError:
-                    # sampled detection said decimal but the full chunk
-                    # isn't: fall back to the production float codec
-                    codec = "xor_split"
-                    reason += ";dec_for_fallback"
-                    payload = _NUM_ENC[codec](vals)
+                picked = choose_codec(vals, dtype)
+                codec, reason = picked[0], picked[1]
+                if len(picked) == 3:  # full-chunk trial payload reused
+                    payload = picked[2]
+                else:
+                    try:
+                        payload = _NUM_ENC[codec](vals)
+                    except L.NotDecimalError:
+                        # sampled detection said decimal but the full
+                        # chunk isn't: fall back to the float codec
+                        codec = "xor_split"
+                        reason += ";dec_for_fallback"
+                        payload = _NUM_ENC[codec](vals)
             else:
                 payload = _NUM_ENC[codec](vals)
         raw_bytes = n_valid * npdt.itemsize

@@ -67,9 +67,15 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     — collision-free in practice), so the shuffle HASHES and compares
     16 bytes per row instead of the full values; the surviving rows
     still move once, which is the lower bound for a dedup that returns
-    rows."""
-    h1 = F.xxhash64(*cols)
-    h2 = F.xxhash64(F.lit("cs2"), *cols)
+    rows.
+
+    Spark's xxhash64 SKIPS null inputs (the running hash is left
+    unchanged), so (x, null) and (null, x) would collide on both
+    hashes deterministically; per-column null flags are mixed into
+    each hash to keep null placement significant."""
+    null_flags = [F.col(c).isNull().cast("int") for c in cols]
+    h1 = F.xxhash64(*cols, *null_flags)
+    h2 = F.xxhash64(F.lit("cs2"), *cols, *null_flags)
     return (
         df.withColumn("__h1", h1)
         .withColumn("__h2", h2)
@@ -378,24 +384,35 @@ def simhash_candidate_pairs(
     max_hamming+1) sub-keys of 64/bands bits; multi-word signatures
     use one whole 64-bit word per band — the web-scale shape where
     bucket sizes stay O(1) at 10^9+ docs."""
-    nb = bands or (max_hamming + 1)
     sig = F.col("simhash")
     keyed = sigs.select("id", "simhash")
-    nwords = F.size(sig)
-    # band keys: multi-word -> one whole word per band; single-word ->
-    # 64/nb-bit slices of word 0
+    first = sigs.select(F.size(sig).alias("w")).limit(1).collect()
+    n_words = first[0]["w"] if first else 1
+    if n_words > 1:
+        # multi-word signatures: one whole 64-bit word per band. The
+        # pigeonhole guarantee needs max_hamming+1 DISTINCT bands —
+        # reusing a word across bands would silently lose recall.
+        if n_words < max_hamming + 1:
+            raise ValueError(
+                f"simhash: {n_words}-word signatures support max_hamming "
+                f"<= {n_words - 1}; generate words={max_hamming + 1} signatures"
+            )
+        if bands is not None and bands != n_words:
+            raise ValueError("simhash: multi-word signatures band one word per band")
+        nb = n_words
+    else:
+        nb = bands or (max_hamming + 1)
     width = 64 // nb
     pairs = None
     for i in range(nb):
-        if width >= 64:
-            slice0 = F.element_at(sig, 1)  # single band = whole word
+        if n_words > 1:
+            band_key = F.element_at(sig, i + 1)
+        elif width >= 64:
+            band_key = F.element_at(sig, 1)  # single band = whole word
         else:
-            slice0 = F.shiftrightunsigned(F.element_at(sig, 1), width * i).bitwiseAND(
+            band_key = F.shiftrightunsigned(F.element_at(sig, 1), width * i).bitwiseAND(
                 F.lit((1 << width) - 1)
             )
-        band_key = F.when(
-            nwords > 1, F.element_at(sig, (F.lit(i) % nwords + 1).cast("int"))
-        ).otherwise(slice0)
         k = keyed.withColumn("bk", band_key)
         l = k.alias("l")
         r = k.alias("r")

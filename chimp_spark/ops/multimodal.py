@@ -70,16 +70,27 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             if payload[pos] != 0xFF:
                 pos += 1
                 continue
-            marker = payload[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may
+            # precede a marker — the marker is the first non-FF byte
+            mpos = pos + 1
+            while mpos < len(payload) and payload[mpos] == 0xFF:
+                mpos += 1
+            if mpos >= len(payload):
+                break
+            marker = payload[mpos]
+            if marker == 0xD9:  # EOI: no SOF seen
+                break
+            if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+                pos = mpos + 1  # standalone markers have no length
                 continue
-            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
-            if marker in sof and pos + 9 <= len(payload):
-                h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
-                w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            if mpos + 3 > len(payload):
+                break
+            seg_len = int.from_bytes(payload[mpos + 1 : mpos + 3], "big")
+            if marker in sof and mpos + 8 <= len(payload):
+                h = int.from_bytes(payload[mpos + 4 : mpos + 6], "big")
+                w = int.from_bytes(payload[mpos + 6 : mpos + 8], "big")
                 return ("image/jpeg", w, h)
-            pos += 2 + seg_len
+            pos = mpos + 1 + seg_len
         return ("image/jpeg", 0, 0)
     return None
 

@@ -40,9 +40,9 @@ def _sample_slices(n: int, size: int = _SAMPLE) -> list[slice]:
     """head + mid + tail thirds: a head/mid-only sample systematically
     misreads sorted/clustered chunks (regular deltas at the head,
     irregular later)."""
-    if n <= 2 * size:
-        return [slice(0, n)]
     third = max(size * 2 // 3, 1)
+    if n <= 4 * third:  # below this the three slices would overlap —
+        return [slice(0, n)]  # and double-counted values bias trials
     mid = n // 2
     return [slice(0, third), slice(mid, mid + third), slice(n - third, n)]
 
@@ -60,8 +60,14 @@ def _pick(cands: dict[str, float], raw: int) -> tuple[str, str]:
     return best, f"sample_raw={raw};{reason}"
 
 
-def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
-    """Pick a codec for a numeric/temporal chunk (valid values only)."""
+def choose_codec(
+    vals: np.ndarray, dtype: str
+) -> tuple[str, str] | tuple[str, str, bytes]:
+    """Pick a codec for a numeric/temporal chunk (valid values only).
+
+    Returns (codec, reason) — or (codec, reason, payload) when the
+    winner was trial-encoded on the FULL chunk, so the caller reuses
+    the bytes instead of encoding a second time."""
     n = vals.size
     if n == 0:
         return "plain", "empty"
@@ -76,13 +82,17 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
     m = sample.size
     raw = sample.nbytes
     cands: dict[str, float] = {"plain": float(raw)}
+    full_payloads: dict[str, bytes] = {}
 
-    def full_trial(enc) -> float:
+    def full_trial(enc, name: str) -> float:
         # cheap codecs trial-encode the FULL chunk (C-packed, ~0.2 ms
         # per 65k values): head+mid samples systematically misjudge
         # delta widths on sorted/clustered data. Normalized to the
-        # sample's value count so sampled and full sizes compare.
-        return len(enc(vals)) * (m / n)
+        # sample's value count so sampled and full sizes compare; the
+        # payload is kept so the winner isn't encoded twice.
+        blob = enc(vals)
+        full_payloads[name] = blob
+        return len(blob) * (m / n)
 
     nruns = int(np.count_nonzero(np.diff(
         sample.view(np.uint64) if dtype == "f64" else
@@ -112,23 +122,26 @@ def choose_codec(vals: np.ndarray, dtype: str) -> tuple[str, str]:
     elif dtype in ("ts_us", "ts_ns"):
         # full trials for the whole ts family: sampled thirds still
         # misjudge chimp's header amortization on clustered timestamps
-        cands["ts_chimp"] = full_trial(L.ts_chimp_encode)
-        cands["delta_bp"] = full_trial(L.delta_bp_encode)
-        cands["for_bitpack"] = full_trial(L.for_bitpack_encode)
+        cands["ts_chimp"] = full_trial(L.ts_chimp_encode, "ts_chimp")
+        cands["delta_bp"] = full_trial(L.delta_bp_encode, "delta_bp")
+        cands["for_bitpack"] = full_trial(L.for_bitpack_encode, "for_bitpack")
         iv = sample.astype(np.int64)
         if iv.size and int(np.gcd.reduce(iv - iv.min())) > 1:
-            cands["gcd_for"] = full_trial(L.gcd_for_encode)
+            cands["gcd_for"] = full_trial(L.gcd_for_encode, "gcd_for")
     else:  # integer kinds, date32
         iv = sample.astype(np.int64)
         width = int(iv.max() - iv.min()).bit_length()
         if width <= 56:
-            cands["for_bitpack"] = full_trial(L.for_bitpack_encode)
+            cands["for_bitpack"] = full_trial(L.for_bitpack_encode, "for_bitpack")
             if int(np.gcd.reduce(iv - iv.min())) > 1:
-                cands["gcd_for"] = full_trial(L.gcd_for_encode)
+                cands["gcd_for"] = full_trial(L.gcd_for_encode, "gcd_for")
             dmax = np.abs(np.diff(iv)).max() if iv.size > 1 else 0
             if int(dmax).bit_length() < width:
-                cands["delta_bp"] = full_trial(L.delta_bp_encode)
-    return _pick(cands, raw)
+                cands["delta_bp"] = full_trial(L.delta_bp_encode, "delta_bp")
+    best, reason = _pick(cands, raw)
+    if best in full_payloads:
+        return best, reason, full_payloads[best]
+    return best, reason
 
 
 def choose_codec_string(

@@ -69,12 +69,14 @@ def main() -> None:
         from chimp_spark.engine import EncodedTable, encode_parquet
 
         t = EncodedTable(args.output)
-        done = t.completed_part_ids(args.table) if not args.no_resume else None
+        # scan unit ids and DataFrame partition ids are different
+        # namespaces: resume only from entries committed by this mode
+        done = t.completed_part_ids(args.table, mode="scan") if not args.no_resume else None
         cols = args.columns.split(",") if args.columns else None
         enc = encode_parquet(spark, args.input, columns=cols, codec=args.codec,
                              chunk_rows=args.chunk_rows, table_name=args.table,
                              skip_part_ids=done)
-        stats = t.commit(spark, enc, args.table)
+        stats = t.commit(spark, enc, args.table, mode="scan")
         print(json.dumps({"job": "encode-scan", "table": args.table,
                           "resumed_units": len(done or ()), **stats}))
         spark.stop()

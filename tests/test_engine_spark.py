@@ -199,8 +199,8 @@ def test_resume_after_partial_failure(spark, tmp_path):
     enc = engine.encode_dataframe(partial, ["c_custkey", "c_name"], chunk_rows=512,
                                   table_name="customer")
     t = engine.EncodedTable(root)
-    t.commit(spark, enc, "customer")
-    assert t.completed_part_ids("customer") == {0, 1, 2}
+    t.commit(spark, enc, "customer", mode="df")
+    assert t.completed_part_ids("customer", mode="df") == {0, 1, 2}
 
     stats = engine.encode_and_commit(
         spark, df, root, "customer", columns=["c_custkey", "c_name"],
@@ -294,14 +294,17 @@ def test_encode_parquet_scan_resume(spark, tmp_path):
 
     part1 = engine.encode_parquet(spark, src, columns=["o_orderkey"],
                                   table_name="orders").filter(F.col("part_id") < 2)
-    t.commit(spark, part1, "orders")
-    done = t.completed_part_ids("orders")
+    t.commit(spark, part1, "orders", mode="scan")
+    done = t.completed_part_ids("orders", mode="scan")
     assert done == {0, 1}
+    # the other namespace must see nothing (a DataFrame-path resume
+    # against these scan unit ids would skip unrelated partitions)
+    assert t.completed_part_ids("orders", mode="df") == set()
 
     part2 = engine.encode_parquet(spark, src, columns=["o_orderkey"],
                                   table_name="orders", skip_part_ids=done)
     assert set(r["part_id"] for r in part2.select("part_id").distinct().collect()) == {2, 3}
-    t.commit(spark, part2, "orders")
+    t.commit(spark, part2, "orders", mode="scan")
 
     enc_all = t.read(spark)
     dec = engine.decode_column(enc_all, "o_orderkey", "long")

@@ -107,3 +107,16 @@ def test_media_encodes_through_engine(spark, media):
     )
     lhs = media.select("media_id", "payload", "mime", "width")
     assert lhs.exceptAll(dec.select("media_id", "payload", "mime", "width")).isEmpty()
+
+
+def test_jpeg_header_with_fill_bytes():
+    """ITU T.81 B.1.1.2 allows 0xFF fill bytes before any marker; the
+    scanner must still find SOF0 (review-found misparse)."""
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (240).to_bytes(2, "big") + (320).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    )
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
+    jpg = b"\xff\xd8" + b"\xff" + app0 + b"\xff\xff" + sof + b"\xff\xd9"
+    assert M.parse_image_header(jpg) == ("image/jpeg", 320, 240)

@@ -249,3 +249,23 @@ def test_signatures_with_trailing_empty_docs(spark):
     sh_alone = dedup.simhash_signatures(base.coalesce(1)).collect()[0]["simhash"]
     sh_padded = {r["id"]: r["simhash"] for r in dedup.simhash_signatures(padded.coalesce(1)).collect()}
     assert sh_alone == sh_padded[1]
+
+
+def test_exact_dedup_distinguishes_null_positions(spark):
+    """Spark's xxhash64 skips null inputs, so (x, null) and (null, x)
+    hash identically without explicit null flags — exact_dedup must
+    keep both rows (review-found silent data loss)."""
+    df = spark.createDataFrame(
+        [("x", None), (None, "x"), ("x", None), (None, None)],
+        "a string, b string",
+    )
+    out = dedup.exact_dedup(df, ["a", "b"])
+    assert out.count() == 3  # (x,null), (null,x), (null,null)
+
+
+def test_simhash_rejects_underprovisioned_words(spark, docs):
+    """words < max_hamming+1 cannot honor the pigeonhole guarantee;
+    the banding must refuse instead of silently losing recall."""
+    sigs = dedup.simhash_signatures(docs.limit(10), words=2)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_candidate_pairs(sigs, max_hamming=3).collect()
