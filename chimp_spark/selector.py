@@ -105,8 +105,16 @@ def choose_codec(
         k = L.dec_for_detect(sample)
         if k is not None:
             # decimal chunks: dec_for (FOR over small scaled ints) beats
-            # every XOR-family/bss candidate by 2x+ — skip their trials
-            cands["dec_for"] = len(L.dec_for_encode(sample, k_hint=k))
+            # every XOR-family/bss candidate by 2x+ — skip their trials.
+            # Full trial: the encode verifies the WHOLE chunk bit-exactly
+            # (the sampled k can fail on the tail), and the payload is
+            # reused, so there's no second detect+encode pass
+            try:
+                cands["dec_for"] = full_trial(
+                    lambda v: L.dec_for_encode(v, k_hint=k), "dec_for"
+                )
+            except L.NotDecimalError:
+                pass  # sampled-decimal but not chunk-decimal
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
         else:
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
@@ -117,8 +125,9 @@ def choose_codec(
     elif dtype == "f32":
         # XOR family is 64-bit (lib.rs:44-50); f32 embedding payloads
         # go through byte-stream split (exponent/sign lanes deflate,
-        # incompressible mantissa lanes stay raw per-lane)
-        cands["bss"] = len(L.bss_encode(sample))
+        # incompressible mantissa lanes stay raw per-lane). Full trial:
+        # the winner's deflate pass is the dominant cost — reuse it.
+        cands["bss"] = full_trial(L.bss_encode, "bss")
     elif dtype in ("ts_us", "ts_ns"):
         # full trials for the whole ts family: sampled thirds still
         # misjudge chimp's header amortization on clustered timestamps
