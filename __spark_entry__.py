@@ -238,6 +238,18 @@ def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, q, k=5, nbits=6)
 
 
+def _ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN top-k (approximate by design ->
+    rows-only): k-means lists trained on a bounded sample, query
+    probes its nprobe nearest lists, exact rank within them."""
+    from chimp_spark.ops import similarity
+
+    emb = _read(spark, sf_dir, "embeddings").cache()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    cents = similarity.ivf_centroids(emb, dim=len(q), n_centroids=16)
+    return similarity.ivf_topk(emb, cents, q, k=5, nprobe=6)
+
+
 def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID distribution; the oracle mirrors
     the exact argmax/tie-break logic in DuckDB list lambdas."""
@@ -436,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent)
         "simhash_dups_documents": _simhash_dups,
         "lsh_ann_topk_embeddings": _lsh_ann_q,
+        "ivf_ann_topk_embeddings": _ivf_ann_q,
         "lang_id_documents": _lang_id_q,
         "compression_summary_lineitem": _compression_summary_q,
         "pages_pipeline_invariant": _pages_invariant,

@@ -135,6 +135,83 @@ def lsh_bucketed_topk(
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    df: DataFrame, dim: int, n_centroids: int = 64, sample: int = 8192,
+    iters: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means (cosine / normalized) on
+    a bounded driver-side sample. The sample is capped (default 8k
+    vectors = ~2 MB at dim 64), so driver memory stays flat no matter
+    the corpus size; centroids broadcast to executors via closure."""
+    rows = (
+        df.select(vec_col).limit(sample).collect()
+    )
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
+    if mat.ndim != 2 or mat.shape[0] == 0:
+        raise ValueError("ivf_centroids: empty or ragged sample")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, mat.shape[0])
+    cent = mat[rng.choice(mat.shape[0], k, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id): nearest-centroid assignment, one matmul+argmax
+    per Arrow batch. At scale this DataFrame is the IVF index — write
+    it partitioned by list_id so a query scans only its probe lists."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    cent = np.ascontiguousarray(centroids, dtype=np.float32)
+    dim = cent.shape[1]
+    sel = df.select(id_col, vec_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            flat = np.asarray(vecs.values, dtype=np.float32)
+            mat = flat.reshape(b.num_rows, dim) if b.num_rows else flat.reshape(0, dim)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = ((mat / norms) @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(assign)], names=["id", "list_id"]
+            )
+
+    return sel.mapInArrow(kernel, "id long, list_id int")
+
+
+def ivf_topk(
+    df: DataFrame, centroids: np.ndarray, query: list[float], k: int = 10,
+    nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rank exactly within the query's ``nprobe`` nearest
+    inverted lists. Scan cost ~ nprobe/n_centroids of the corpus; the
+    recall/cost knob is (n_centroids, nprobe)."""
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    assign = ivf_assign(df, centroids, id_col, vec_col)
+    cand_ids = assign.filter(F.col("list_id").isin(probes)).select(
+        F.col("id").alias(id_col)
+    )
+    cands = df.join(cand_ids, id_col)  # AQE broadcasts the small side
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, nbits: int = 12, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,

@@ -269,3 +269,39 @@ def test_simhash_rejects_underprovisioned_words(spark, docs):
     sigs = dedup.simhash_signatures(docs.limit(10), words=2)
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.simhash_candidate_pairs(sigs, max_hamming=3).collect()
+
+
+def test_ivf_ann_recall(spark, embeddings):
+    """IVF coarse-quantizer ANN: planted near-neighbors (cos ~0.995)
+    land in the same inverted list as their query with overwhelming
+    probability; nprobe lists recover recall >= 0.9 vs exact top-k."""
+    base = embeddings.collect()
+    rng_ = np.random.default_rng(5)
+    rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in base]
+    vid = 100_000
+    planted = {}
+    for qi in range(4):
+        q = np.asarray(rows[qi][1], dtype=np.float32)
+        ids = []
+        for _ in range(3):
+            noise = rng_.standard_normal(q.size).astype(np.float32) * 0.01
+            rows.append((vid, [float(x) for x in (q + noise)]))
+            ids.append(vid)
+            vid += 1
+        planted[qi] = ids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    cents = similarity.ivf_centroids(df, dim=64, n_centroids=16)
+    assert cents.shape == (16, 64)
+    hits = want = 0
+    for qi, ids in planted.items():
+        q = rows[qi][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+        assert set(ids) <= set(exact)
+        ann = [r["vec_id"] for r in similarity.ivf_topk(df, cents, q, k=4, nprobe=4).collect()]
+        hits += len(set(exact) & set(ann))
+        want += 4
+    assert hits / want >= 0.9, f"ivf recall {hits}/{want}"
+    # the probe actually restricts the scan: assignments are balancedish
+    counts = similarity.ivf_assign(df, cents).groupBy("list_id").count().collect()
+    assert len(counts) > 4
+    df.unpersist()
