@@ -178,7 +178,9 @@ def _weak_scaling_session(cpus: int, rep: int, sf_dir: str):
         enc.agg(F.sum("raw_bytes")).collect()
         times = []
         raw = 0
-        for _ in range(4):  # min-of-4: +-30% interference spikes on this VM
+        for _ in range(6):  # min-of-6: external host interference can
+            # slow several consecutive passes; one clean pass per level
+            # is what the ratio needs
             t0 = time.perf_counter()
             e = engine.encode_parquet(spark, staged, table_name="lineitem")
             raw = e.agg(F.sum("raw_bytes").alias("r")).collect()[0]["r"]
