@@ -301,6 +301,27 @@ WHERE l_extendedprice BETWEEN 5000.0 AND 10000.0
 """
 
 
+def _zone_pruned_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key analogue of the numeric zone-map query: range layout
+    on a string column -> 16-byte truncated zone maps -> key_range
+    chunk pruning -> exact filter."""
+    df = _read(spark, sf_dir, "documents")
+    laid = df.repartitionByRange(4, F.col("source")).sortWithinPartitions("source")
+    enc = engine.encode_dataframe(laid, ["source"], codec="auto",
+                                  chunk_rows=_CHUNK, table_name="documents")
+    lo, hi = "src0", "src12"  # lexicographic: src0, src1, src10..src12
+    dec = engine.decode_column(enc, "source", "string", key_range=(lo, hi))
+    return dec.filter((F.col("value") >= lo) & (F.col("value") <= hi)).select(
+        F.col("value").alias("v")
+    )
+
+
+_ZONE_KEY_ORACLE = """
+SELECT source AS v FROM documents
+WHERE source BETWEEN 'src0' AND 'src12'
+"""
+
+
 def _list_roundtrip_exploded(codec: str):
     """Round-trip the embedding list column, then explode to scalar
     (pos, v) rows — the driver's canonicalizer sorts/hashes scalar
@@ -440,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_decoded": _q1_decoded,
         "q3_join_decoded": _q3_join_decoded,
         "zone_pruned_range_price": _zone_pruned_range,
+        "zone_pruned_key_source": _zone_pruned_key_range,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "minhash_dedup_documents": _minhash_dedup,
@@ -481,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_decoded": _Q1_ORACLE,
         "q3_join_decoded": _Q3_ORACLE,
         "zone_pruned_range_price": _ZONE_ORACLE,
+        "zone_pruned_key_source": _ZONE_KEY_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"

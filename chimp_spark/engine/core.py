@@ -49,6 +49,8 @@ ENC_ARROW_SCHEMA = pa.schema(
         ("encode_ns", pa.int64()),
         ("stat_min", pa.float64()),
         ("stat_max", pa.float64()),
+        ("stat_min_bin", pa.binary()),
+        ("stat_max_bin", pa.binary()),
         ("reason", pa.string()),
         ("frame", pa.binary()),
     ]
@@ -57,7 +59,8 @@ ENC_DDL = (
     "table string, run_id string, column string, part_id int, chunk_id long, row_start long, "
     "n long, n_valid long, codec string, dtype string, raw_bytes long, "
     "enc_bytes long, checksum long, encode_ns long, stat_min double, "
-    "stat_max double, reason string, frame binary"
+    "stat_max double, stat_min_bin binary, stat_max_bin binary, "
+    "reason string, frame binary"
 )
 
 DEFAULT_CHUNK_ROWS = 65_536
@@ -158,6 +161,8 @@ def encode_dataframe(
                 out["checksum"].append(meta.checksum)
                 out["stat_min"].append(meta.stat_min)
                 out["stat_max"].append(meta.stat_max)
+                out["stat_min_bin"].append(meta.stat_min_bin)
+                out["stat_max_bin"].append(meta.stat_max_bin)
                 out["reason"].append(meta.reason)
                 out["frame"].append(blob)
             state["chunk_id"] += 1
@@ -187,6 +192,7 @@ def decode_column(
     encoded: DataFrame, column: str, value_ddl: str, table: str | None = None,
     verify_checksums: bool = False,
     value_range: tuple[float, float] | None = None,
+    key_range: tuple[bytes | str, bytes | str] | None = None,
 ) -> DataFrame:
     """Decode one column's frames -> (part_id, row_id, value).
 
@@ -210,6 +216,19 @@ def decode_column(
         sel = sel.filter(
             F.col("stat_min").isNull()
             | ((F.col("stat_max") >= F.lit(lo)) & (F.col("stat_min") <= F.lit(hi)))
+        )
+    if key_range is not None:
+        # string/binary zone maps: 16-byte truncated bounds (min is a
+        # prefix -> valid lower bound; max is truncate-and-increment ->
+        # valid upper bound; NULL bound = unbounded, chunk kept). The
+        # encoded analogue of parquet row-group skipping on a sorted
+        # url layout.
+        klo, khi = key_range
+        klo = klo.encode() if isinstance(klo, str) else klo
+        khi = khi.encode() if isinstance(khi, str) else khi
+        sel = sel.filter(
+            (F.col("stat_max_bin").isNull() | (F.col("stat_max_bin") >= F.lit(klo)))
+            & (F.col("stat_min_bin").isNull() | (F.col("stat_min_bin") <= F.lit(khi)))
         )
     sel = sel.select("part_id", "row_start", "checksum", "frame")
     out_type = _arrow_type_of_ddl(value_ddl)

@@ -170,6 +170,8 @@ def encode_parquet(
                         out["checksum"].append(meta.checksum)
                         out["stat_min"].append(meta.stat_min)
                         out["stat_max"].append(meta.stat_max)
+                        out["stat_min_bin"].append(meta.stat_min_bin)
+                        out["stat_max_bin"].append(meta.stat_max_bin)
                         out["reason"].append(meta.reason)
                         out["frame"].append(blob)
                     chunk_id += 1

@@ -218,8 +218,10 @@ class ChunkMeta:
     enc_bytes: int
     checksum: int
     reason: str = ""
-    stat_min: float | None = None  # zone map (numeric/temporal only),
+    stat_min: float | None = None  # zone map (numeric/temporal),
     stat_max: float | None = None  # 1-ulp padded -> always conservative
+    stat_min_bin: bytes | None = None  # zone map (string/binary):
+    stat_max_bin: bytes | None = None  # 16-byte truncated bounds
 
 
 def encode_chunk(
@@ -257,6 +259,7 @@ def encode_chunk(
         if codec != "auto" and codec != "plain":
             reason = f"requested={codec};empty->plain"
         codec = "plain"
+    stat_min_bin = stat_max_bin = None
     if dtype in ("str", "bin"):
         offs, data = _string_block(dense)
         raw_bytes = int(data.size) + 4 * n
@@ -264,6 +267,7 @@ def encode_chunk(
         if codec == "auto":
             codec, reason = choose_codec_str(offs, data, cache)
         payload = _encode_str_payload(codec, offs, data, dense, cache)
+        stat_min_bin, stat_max_bin = _string_bounds(dense)
     elif dtype.startswith("list_"):
         # embedding-style list<numeric>: lengths FOR-bitpacked, flat
         # values through the numeric codec suite (auto-selected, so
@@ -350,8 +354,48 @@ def encode_chunk(
         codec=codec, dtype=dtype, n=n, n_valid=n_valid, raw_bytes=raw_bytes,
         enc_bytes=len(blob), checksum=checksum, reason=reason,
         stat_min=stat_min, stat_max=stat_max,
+        stat_min_bin=stat_min_bin, stat_max_bin=stat_max_bin,
     )
     return blob, meta
+
+
+_STAT_PREFIX = 16
+
+
+def _string_bounds(dense: pa.Array) -> tuple[bytes | None, bytes | None]:
+    """Conservative 16-byte zone-map bounds for a string/binary chunk.
+
+    min bound: a PREFIX of the true min is lexicographically <= it, so
+    truncation alone stays a valid lower bound. max bound: a prefix is
+    NOT an upper bound, so the truncated prefix's last non-0xFF byte
+    is incremented (parquet's truncate-and-increment); if every prefix
+    byte is 0xFF the bound is None (= unbounded, conservative)."""
+    if len(dense) == 0:
+        return None, None
+    import pyarrow.compute as pc
+
+    try:
+        mm = pc.min_max(dense)
+    except pa.ArrowNotImplementedError:
+        return None, None
+    mn = mm["min"].as_py()
+    mx = mm["max"].as_py()
+    if mn is None or mx is None:
+        return None, None
+    if isinstance(mn, str):
+        mn, mx = mn.encode(), mx.encode()
+    lo = mn[:_STAT_PREFIX]
+    hi = mx
+    if len(mx) > _STAT_PREFIX:
+        trunc = bytearray(mx[:_STAT_PREFIX])
+        for i in range(len(trunc) - 1, -1, -1):
+            if trunc[i] < 0xFF:
+                trunc[i] += 1
+                hi = bytes(trunc[: i + 1])
+                break
+        else:
+            return lo, None  # all-0xFF prefix: no finite upper bound
+    return lo, hi
 
 
 def _encode_str_payload(

@@ -311,3 +311,46 @@ def test_encode_parquet_scan_resume(spark, tmp_path):
     assert dec.count() == df.count()
     lhs = df.select(F.col("o_orderkey").alias("value"))
     assert lhs.exceptAll(dec.select("value")).isEmpty()
+
+
+def test_string_zone_map_pruning(spark):
+    """Range-partition documents by source (string key) -> encode ->
+    key_range decode must skip non-overlapping chunks and return
+    exactly the matching rows (parquet row-group skipping, but on the
+    ENCODED table's string zone maps)."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    laid = df.repartitionByRange(4, F.col("source")).sortWithinPartitions("source")
+    enc = engine.encode_dataframe(laid, ["source"], chunk_rows=128,
+                                  table_name="docs").cache()
+    lo, hi = "crawl-a", "crawl-m"
+    pruned = enc.filter(
+        (F.col("stat_max_bin").isNull() | (F.col("stat_max_bin") >= F.lit(lo.encode())))
+        & (F.col("stat_min_bin").isNull() | (F.col("stat_min_bin") <= F.lit(hi.encode())))
+    )
+    assert pruned.count() < enc.count(), "no chunks pruned — layout/test broken"
+    dec = engine.decode_column(enc, "source", "string", key_range=(lo, hi))
+    got = dec.filter((F.col("value") >= lo) & (F.col("value") <= hi)).select(
+        F.col("value").alias("v"))
+    want = df.filter((F.col("source") >= lo) & (F.col("source") <= hi)).select(
+        F.col("source").alias("v"))
+    assert got.count() == want.count()
+    assert want.exceptAll(got).isEmpty() and got.exceptAll(want).isEmpty()
+    enc.unpersist()
+
+
+def test_string_bounds_conservative():
+    """Truncate-and-increment upper bounds stay conservative for long
+    and all-0xFF keys."""
+    import pyarrow as pa
+
+    from chimp_spark.framing import _string_bounds
+
+    arr = pa.array(["b" * 40, "a", "c" * 40])
+    lo, hi = _string_bounds(arr)
+    assert lo == b"a"
+    assert hi is not None and hi >= ("c" * 40).encode()[:16]  # bound holds
+    assert hi > ("c" * 40).encode()  # strictly above every member
+
+    ff = pa.array([b"\xff" * 32, b"a"], type=pa.binary())
+    lo, hi = _string_bounds(ff)
+    assert lo == b"a" and hi is None  # unbounded, conservative
