@@ -226,7 +226,7 @@ def _simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "documents")
     both = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     sigs = dedup.simhash_signatures(both)
-    return dedup.simhash_candidate_pairs(sigs, max_hamming=0)
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=0, words=1)
 
 
 def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:

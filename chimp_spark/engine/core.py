@@ -217,6 +217,9 @@ def decode_column(
             F.col("stat_min").isNull()
             | ((F.col("stat_max") >= F.lit(lo)) & (F.col("stat_min") <= F.lit(hi)))
         )
+    if key_range is not None and "stat_max_bin" not in encoded.columns:
+        key_range = None  # pre-upgrade table without string zone maps:
+        # fall back to a full (conservative) scan instead of failing
     if key_range is not None:
         # string/binary zone maps: 16-byte truncated bounds (min is a
         # prefix -> valid lower bound; max is truncate-and-increment ->

@@ -72,13 +72,17 @@ class EncodedTable:
         are Spark partition ids ('df') while scan-path ids are
         row-group unit indices ('scan') — resuming one from the
         other's entries would silently skip unrelated data. mode=None
-        returns every batch entry (legacy behavior)."""
+        returns every batch entry. Entries written before modes
+        existed (no 'mode' key) count for EVERY mode: mis-skipping a
+        legacy id risks duplicate rows, but ignoring it would
+        re-encode committed data — duplication on mixed legacy tables
+        is the lesser failure, and new commits always carry a mode."""
         return {
             e["part_id"]
             for e in self.manifest_entries()
             if e["table"] == table and e["part_id"] >= 0
             and e.get("committed", True) and e.get("epoch") is None
-            and (mode is None or e.get("mode") == mode)
+            and (mode is None or e.get("mode") in (mode, None))
         }
 
     def data_files(self) -> list[str]:

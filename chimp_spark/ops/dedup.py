@@ -374,7 +374,8 @@ def simhash_signatures(
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, max_hamming: int = 3, bands: int | None = None
+    sigs: DataFrame, max_hamming: int = 3, bands: int | None = None,
+    words: int | None = None,
 ) -> DataFrame:
     """Bucket by disjoint signature bands (pigeonhole: Hamming <=
     max_hamming pairs share at least one of max_hamming+1 bands),
@@ -386,8 +387,13 @@ def simhash_candidate_pairs(
     bucket sizes stay O(1) at 10^9+ docs."""
     sig = F.col("simhash")
     keyed = sigs.select("id", "simhash")
-    first = sigs.select(F.size(sig).alias("w")).limit(1).collect()
-    n_words = first[0]["w"] if first else 1
+    if words is not None:
+        n_words = words  # caller knows (simhash_signatures(words=...))
+    else:
+        # sniff from one row — note this runs an eager mini-job at
+        # plan-construction time; pass ``words`` to stay lazy
+        first = sigs.select(F.size(sig).alias("w")).limit(1).collect()
+        n_words = first[0]["w"] if first else 1
     if n_words > 1:
         # multi-word signatures: one whole 64-bit word per band. The
         # pigeonhole guarantee needs max_hamming+1 DISTINCT bands —

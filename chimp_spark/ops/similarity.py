@@ -49,6 +49,30 @@ def cosine_topk(
     )
 
 
+def _dense_matrix(vecs: pa.Array, dim: int, n_rows: int) -> np.ndarray:
+    """Validated (n_rows, dim) float32 matrix from an arrow
+    list<float> batch column: checks nulls, ragged lengths, and
+    honors array offsets — a blind ``.values`` reshape silently
+    misaligns ids with vectors on sliced or ragged input."""
+    if vecs.null_count:
+        raise ValueError("embedding column: null vectors unsupported")
+    arr = vecs.cast(pa.list_(pa.float32()))
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    lens = np.diff(offs)
+    if lens.size and not (lens == dim).all():
+        raise ValueError(
+            f"embedding column: ragged vectors (expected dim {dim}, "
+            f"got lengths {np.unique(lens)[:5]})"
+        )
+    child = arr.values.slice(int(offs[0]) if offs.size else 0, int(lens.sum()))
+    if child.null_count:
+        raise ValueError("embedding column: null elements unsupported")
+    flat = np.asarray(child, dtype=np.float32)
+    return flat.reshape(n_rows, dim) if n_rows else flat.reshape(0, dim)
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).astype(np.float32)
@@ -70,24 +94,7 @@ def rp_signatures(
         weights = (1 << np.arange(nbits, dtype=np.int64))
         for b in batches:
             ids = b.column(0)
-            vecs = b.column(1)
-            if vecs.null_count:
-                raise ValueError("rp_signatures: null embeddings unsupported")
-            arr = vecs.cast(pa.list_(pa.float32()))
-            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-                arr.offset : arr.offset + len(arr) + 1
-            ].astype(np.int64)
-            lens = np.diff(offs)
-            if lens.size and not (lens == dim).all():
-                raise ValueError(
-                    f"rp_signatures: ragged embeddings (expected dim {dim}, "
-                    f"got lengths {np.unique(lens)[:5]})"
-                )
-            child = arr.values.slice(int(offs[0]) if offs.size else 0, int(lens.sum()))
-            if child.null_count:
-                raise ValueError("rp_signatures: null embedding elements unsupported")
-            flat = np.asarray(child, dtype=np.float32)
-            mat = flat.reshape(b.num_rows, dim) if b.num_rows else flat.reshape(0, dim)
+            mat = _dense_matrix(b.column(1), dim, b.num_rows)
             proj = mat @ planes.T  # (n, nbits)
             sig = ((proj > 0) @ weights).astype(np.int64)
             yield pa.RecordBatch.from_arrays([ids, pa.array(sig)], names=["id", "bucket"])
@@ -141,15 +148,27 @@ def ivf_centroids(
     seed: int = 7,
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: k-means (cosine / normalized) on
-    a bounded driver-side sample. The sample is capped (default 8k
-    vectors = ~2 MB at dim 64), so driver memory stays flat no matter
-    the corpus size; centroids broadcast to executors via closure."""
+    a bounded driver-side RANDOM sample. ``limit()`` would read the
+    first partitions only — a corpus laid out by a key correlated with
+    the embedding clusters would then train every centroid on one
+    region. The sample is capped (default 8k vectors = ~2 MB at dim
+    64), so driver memory stays flat no matter the corpus size;
+    centroids broadcast to executors via closure."""
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("ivf_centroids: empty input")
+    frac = min(1.0, (sample * 1.3) / n_total)
     rows = (
-        df.select(vec_col).limit(sample).collect()
+        df.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample).collect()
     )
+    if not rows:  # tiny fraction rounded to nothing
+        rows = df.select(vec_col).limit(sample).collect()
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
     if mat.ndim != 2 or mat.shape[0] == 0:
         raise ValueError("ivf_centroids: empty or ragged sample")
+    if mat.shape[1] != dim:
+        raise ValueError(f"ivf_centroids: expected dim {dim}, got {mat.shape[1]}")
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_centroids, mat.shape[0])
@@ -182,9 +201,7 @@ def ivf_assign(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             ids = b.column(0)
-            vecs = b.column(1)
-            flat = np.asarray(vecs.values, dtype=np.float32)
-            mat = flat.reshape(b.num_rows, dim) if b.num_rows else flat.reshape(0, dim)
+            mat = _dense_matrix(b.column(1), dim, b.num_rows)
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             assign = ((mat / norms) @ cent.T).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
