@@ -233,11 +233,12 @@ class NotDecimalError(ValueError):
     pass
 
 
-def dec_for_detect(vals: np.ndarray, max_k: int = 4, k_hint: int | None = None) -> int | None:
-    """Smallest k (0..max_k) such that vals == round(vals*10^k)/10^k
-    bit-exactly; None if no k works. ``k_hint`` (e.g. from a sampled
-    detection) is verified first — it's still a full bit-exact check,
-    just skipping the scan over smaller k."""
+def _dec_for_detect_iv(
+    vals: np.ndarray, max_k: int = 4, k_hint: int | None = None
+) -> tuple[int, np.ndarray] | None:
+    """(k, scaled int64 values) for the smallest verified k, or None.
+    Returning the scaled ints saves the encoder a second round+cast
+    pass over the chunk."""
     if vals.size == 0 or not np.isfinite(vals).all():
         return None
     bits = vals.view(np.uint64)
@@ -252,19 +253,29 @@ def dec_for_detect(vals: np.ndarray, max_k: int = 4, k_hint: int | None = None) 
             return None
         # verify through the EXACT decode path (int64 cast loses the
         # sign of -0.0, so it must be part of the check)
-        recon = iv.astype(np.int64) / mult
+        iv64 = iv.astype(np.int64)
+        recon = iv64 / mult
         if (recon.view(np.uint64) == bits).all():
-            return k
+            return k, iv64
     return None
+
+
+def dec_for_detect(vals: np.ndarray, max_k: int = 4, k_hint: int | None = None) -> int | None:
+    """Smallest k (0..max_k) such that vals == round(vals*10^k)/10^k
+    bit-exactly; None if no k works. ``k_hint`` (e.g. from a sampled
+    detection) is verified first — it's still a full bit-exact check,
+    just skipping the scan over smaller k."""
+    hit = _dec_for_detect_iv(vals, max_k, k_hint)
+    return None if hit is None else hit[0]
 
 
 def dec_for_encode(vals: np.ndarray, k_hint: int | None = None) -> bytes:
     """<u8 k><u8 inner: 0=FOR,1=delta> + int blob. Raises
     NotDecimalError when the chunk is not exactly decimal."""
-    k = dec_for_detect(vals, k_hint=k_hint)
-    if k is None:
+    hit = _dec_for_detect_iv(vals, k_hint=k_hint)
+    if hit is None:
         raise NotDecimalError("chunk is not decimal-representable")
-    iv = np.round(vals * np.float64(10.0**k)).astype(np.int64)
+    k, iv = hit
     for_blob = for_bitpack_encode(iv)
     delta_blob = delta_bp_encode(iv) if iv.size else for_blob
     if len(delta_blob) < len(for_blob):
