@@ -76,3 +76,49 @@ def test_xor_split_native_equals_python(no_native, monkeypatch):
         assert nat_buf == py_buf
         np.testing.assert_array_equal(py_out, nat_out)
         np.testing.assert_array_equal(nat_out, bits)
+
+
+def test_bitpack_bitunpack_native_equals_python(no_native, monkeypatch):
+    """bp_fixed/bu_fixed (C) must be byte-identical to the numpy
+    scatter/gather across widths incl. word-crossing and width 64."""
+    from chimp_spark.codecs import light as L
+
+    rng = np.random.default_rng(9)
+    for width in (1, 3, 7, 8, 13, 23, 31, 33, 47, 56, 63, 64):
+        vals = rng.integers(0, 2**64, 4097, dtype=np.uint64)
+        if width < 64:
+            vals &= np.uint64((1 << width) - 1)
+        # python reference (native disabled by fixture)
+        py_blob = L.bitpack(vals, width)
+        py_back = L.bitunpack(memoryview(py_blob), vals.size, width)
+        np.testing.assert_array_equal(py_back, vals)
+        # native
+        monkeypatch.setattr(native_mod, "_FUNCS", None)
+        assert native_mod.get() is not None
+        c_blob = L.bitpack(vals, width)
+        assert c_blob == py_blob, f"width {width}: pack bytes differ"
+        c_back = L.bitunpack(memoryview(c_blob), vals.size, width)
+        np.testing.assert_array_equal(c_back, vals)
+        monkeypatch.setattr(native_mod, "_FUNCS", {})
+
+
+def test_bss_roundtrip_property():
+    """bss survives adversarial lane content (all-zero lanes, const
+    lanes, random) for f32 and f64."""
+    from chimp_spark.codecs import light as L
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.standard_normal(5000).astype(np.float32),
+        (rng.integers(0, 255, 5000) / 10).astype(np.float32),  # quantized
+        np.zeros(777, dtype=np.float64),
+        np.full(123, -0.0, dtype=np.float32),
+        rng.standard_normal(5000).astype(np.float16).astype(np.float64),
+        np.array([], dtype=np.float32),
+    ]
+    for vals in cases:
+        blob = L.bss_encode(vals)
+        out = L.bss_decode(memoryview(blob), vals.size, vals.dtype)
+        np.testing.assert_array_equal(
+            out.view(np.uint8), np.ascontiguousarray(vals).view(np.uint8)
+        )
