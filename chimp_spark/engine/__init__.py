@@ -6,6 +6,7 @@ from .core import (
     decode_table,
     encode_dataframe,
     get_spark,
+    verify_table,
 )
 from .manifest import EncodedTable, encode_and_commit
 from .scan import encode_parquet
@@ -31,4 +32,5 @@ __all__ = [
     "repartition_balanced",
     "repartition_by_range",
     "repartition_salted",
+    "verify_table",
 ]

@@ -357,6 +357,24 @@ def decode_table(
     return sel.mapInArrow(dec_iter, f"part_id int, row_id long, {ddl}")
 
 
+def verify_table(
+    source: DataFrame, encoded: DataFrame, columns: list[str], ddl: str
+) -> dict:
+    """Bit-level round-trip audit: decode ``columns`` from ``encoded``
+    and multiset-compare against ``source`` (exceptAll both ways, so
+    duplicates count). Returns {'rows', 'missing', 'extra'} — all-zero
+    mismatches == lossless. This is the reference harness's
+    round-trip assert (main.rs:102,136,239) as a reusable job step."""
+    dec = decode_table(encoded, columns, ddl, verify_checksums=True)
+    lhs = source.select(*columns)
+    rhs = dec.select(*columns)
+    return {
+        "rows": rhs.count(),
+        "missing": lhs.exceptAll(rhs).count(),
+        "extra": rhs.exceptAll(lhs).count(),
+    }
+
+
 def compression_summary(encoded: DataFrame) -> DataFrame:
     """Per-(table, column, codec) ratio/throughput accounting — the
     engine-side analogue of the reference's printed metrics

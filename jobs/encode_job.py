@@ -29,7 +29,9 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--columns", default=None, help="comma-separated; default all")
-    p.add_argument("--codec", default="auto")
+    p.add_argument("--codec", default="auto",
+                   help="codec name, or per-column overrides as "
+                        "'col=codec,col2=codec' (unlisted columns auto)")
     p.add_argument("--chunk-rows", type=int, default=65_536)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--range-key", default=None)
@@ -57,6 +59,10 @@ def main() -> None:
 
     spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
 
+    codec: str | dict = args.codec
+    if "=" in args.codec:
+        codec = dict(kv.split("=", 1) for kv in args.codec.split(","))
+
     # the scan path (direct Arrow row-group reads, no JVM row
     # conversion — measured ~80% of DataFrame-path encode wall) is the
     # default for plain parquet ingests; layout flags imply a shuffle,
@@ -73,7 +79,7 @@ def main() -> None:
         # namespaces: resume only from entries committed by this mode
         done = t.completed_part_ids(args.table, mode="scan") if not args.no_resume else None
         cols = args.columns.split(",") if args.columns else None
-        enc = encode_parquet(spark, args.input, columns=cols, codec=args.codec,
+        enc = encode_parquet(spark, args.input, columns=cols, codec=codec,
                              chunk_rows=args.chunk_rows, table_name=args.table,
                              skip_part_ids=done)
         stats = t.commit(spark, enc, args.table, mode="scan")
@@ -96,7 +102,7 @@ def main() -> None:
 
     cols = args.columns.split(",") if args.columns else None
     stats = encode_and_commit(
-        spark, df, args.output, args.table, columns=cols, codec=args.codec,
+        spark, df, args.output, args.table, columns=cols, codec=codec,
         chunk_rows=args.chunk_rows, resume=not args.no_resume,
     )
     print(json.dumps({"job": "encode", "table": args.table, **stats}))
