@@ -98,3 +98,74 @@ def test_dec_for_never_lossy(vals):
         return
     out = L.dec_for_decode(memoryview(buf), arr.size, np.float64)
     np.testing.assert_array_equal(out.view(np.uint64), arr.view(np.uint64))
+
+
+# full-int64 domain: gcd_for/for_bitpack must be wrap-safe (regression:
+# ranges exceeding int64 once silently decoded every value as min)
+i64_full = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200
+)
+
+
+@settings(max_examples=_MAX_EXAMPLES, deadline=None)
+@given(vals=i64_full)
+def test_int_codecs_roundtrip_full_int64_domain(vals):
+    iv = np.array(vals, dtype=np.int64)
+    for enc, dec in [
+        (L.for_bitpack_encode, L.for_bitpack_decode),
+        (L.gcd_for_encode, L.gcd_for_decode),
+        (L.delta_bp_encode, L.delta_bp_decode),
+    ]:
+        buf = enc(iv)
+        np.testing.assert_array_equal(dec(memoryview(buf), iv.size, np.int64), iv)
+
+
+@settings(max_examples=_MAX_EXAMPLES, deadline=None)
+@given(
+    lists=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.floats(allow_nan=True, width=32)),
+                min_size=0, max_size=8,
+            ),
+        ),
+        min_size=1, max_size=60,
+    )
+)
+def test_list_frame_roundtrip_any_nullability(lists):
+    """list<float> frames: outer nulls, inner nulls, empties, NaN — all
+    bit-identical through encode/decode."""
+    import pyarrow as pa
+
+    from chimp_spark import framing
+
+    arr = pa.array(lists, type=pa.list_(pa.float32()))
+    blob, meta = framing.encode_chunk(arr, codec="auto")
+    out = framing.decode_chunk(blob, arr.type)
+    assert out.is_valid().equals(arr.is_valid())
+    assert np.array_equal(
+        np.asarray(out.values.is_valid()), np.asarray(arr.values.is_valid())
+    ) or (len(arr.values) == 0)
+    a = np.asarray(out.values.drop_null(), dtype=np.float32).view(np.uint32)
+    b = np.asarray(arr.values.drop_null(), dtype=np.float32).view(np.uint32)
+    np.testing.assert_array_equal(a, b)
+    assert framing.checksum_of(out) == meta.checksum
+
+
+@settings(max_examples=_MAX_EXAMPLES, deadline=None)
+@given(strings=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_string_zone_bounds_bracket_all_members(strings):
+    """_string_bounds must bracket every member: lo <= s for all s,
+    and hi >= s (or hi is None = unbounded)."""
+    import pyarrow as pa
+
+    from chimp_spark.framing import _string_bounds
+
+    arr = pa.array(strings, type=pa.binary())
+    lo, hi = _string_bounds(arr)
+    assert lo is not None
+    for s in strings:
+        assert lo <= s
+        if hi is not None:
+            assert hi >= s
