@@ -39,6 +39,10 @@ CHUNK = 65_536
 FIXED_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "64"))
 
 
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
 def _replicated(spark, sf_dir: str, table: str, rep: int, parts: int):
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     out = df
@@ -72,8 +76,7 @@ def _stage_scaling_input(sf_dir: str) -> str:
     import pyarrow as pa_mod
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    staged = f"/tmp/bench_lineitem_{tag}_staged16.parquet"
+    staged = f"/tmp/bench_lineitem_{_sf_tag(sf_dir)}_staged16.parquet"
     if not os.path.exists(staged):
         t = pq.read_table(f"{sf_dir}/lineitem.parquet")
         t = pa_mod.concat_tables([t] * 16)
@@ -87,8 +90,7 @@ def _stage_weak_input(sf_dir: str, rep: int) -> str:
     import pyarrow as pa_mod
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    staged = f"/tmp/bench_lineitem_{tag}_weakdir{rep}"
+    staged = f"/tmp/bench_lineitem_{_sf_tag(sf_dir)}_weakdir{rep}"
     if not os.path.exists(staged):
         os.makedirs(staged + ".tmp", exist_ok=True)
         t = pq.read_table(f"{sf_dir}/lineitem.parquet")
@@ -308,7 +310,7 @@ def main() -> None:
         import pyarrow.parquet as pq
         import pyarrow as pa_mod
 
-        staged = f"/tmp/bench_lineitem_{os.path.basename(SF_DIR.rstrip('/'))}_staged.parquet"
+        staged = f"/tmp/bench_lineitem_{_sf_tag(SF_DIR)}_staged_rep{REP}.parquet"
         if not os.path.exists(staged):
             t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
             t = pa_mod.concat_tables([t] * REP)

@@ -358,21 +358,48 @@ def decode_table(
 
 
 def verify_table(
-    source: DataFrame, encoded: DataFrame, columns: list[str], ddl: str
+    source: DataFrame, encoded: DataFrame, columns: list[str], ddl: str,
+    table: str | None = None,
 ) -> dict:
-    """Bit-level round-trip audit: decode ``columns`` from ``encoded``
-    and multiset-compare against ``source`` (exceptAll both ways, so
-    duplicates count). Returns {'rows', 'missing', 'extra'} — all-zero
-    mismatches == lossless. This is the reference harness's
-    round-trip assert (main.rs:102,136,239) as a reusable job step."""
-    dec = decode_table(encoded, columns, ddl, verify_checksums=True)
-    lhs = source.select(*columns)
-    rhs = dec.select(*columns)
-    return {
-        "rows": rhs.count(),
-        "missing": lhs.exceptAll(rhs).count(),
-        "extra": rhs.exceptAll(lhs).count(),
-    }
+    """Round-trip audit: decode ``columns`` from ``encoded`` (frame
+    checksums verified — THE bit-level guard, crc32 over exact value
+    bits per chunk) and multiset-compare against ``source`` (exceptAll
+    both ways, so duplicates count). Returns {'rows', 'missing',
+    'extra'} — all-zero mismatches == lossless. ``table`` filters a
+    multi-table EncodedTable to the audited one.
+
+    Spark's comparison normalizes floats (-0.0 == 0.0, all NaN equal),
+    so float/double columns are compared through a string cast, which
+    distinguishes -0.0 from 0.0; NaN PAYLOAD bits are covered by the
+    frame checksums, not this row comparison."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    enc = encoded if table is None else encoded.filter(F.col("table") == table)
+    dec = decode_table(enc, columns, ddl, verify_checksums=True).persist()
+    try:
+        rows = dec.count()  # materializes once; except-counts reuse it
+
+        def canon(df: DataFrame) -> DataFrame:
+            floaty = {
+                f.name for f in df.select(*columns).schema.fields
+                if isinstance(f.dataType, (DoubleType, FloatType))
+            }
+            return df.select(
+                *[
+                    F.col(c).cast("string").alias(c) if c in floaty else F.col(c)
+                    for c in columns
+                ]
+            )
+
+        lhs = canon(source)
+        rhs = canon(dec)
+        return {
+            "rows": rows,
+            "missing": lhs.exceptAll(rhs).count(),
+            "extra": rhs.exceptAll(lhs).count(),
+        }
+    finally:
+        dec.unpersist()
 
 
 def compression_summary(encoded: DataFrame) -> DataFrame:

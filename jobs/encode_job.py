@@ -57,11 +57,24 @@ def main() -> None:
         repartition_salted,
     )
 
-    spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
+    from chimp_spark.codecs.light import CODEC_IDS
 
     codec: str | dict = args.codec
     if "=" in args.codec:
-        codec = dict(kv.split("=", 1) for kv in args.codec.split(","))
+        codec = {}
+        for kv in args.codec.split(","):
+            if "=" not in kv:
+                p.error(f"--codec: '{kv}' is not col=codec (unlisted "
+                        "columns default to auto — omit them)")
+            col, name = kv.split("=", 1)
+            if name != "auto" and name not in CODEC_IDS:
+                p.error(f"--codec: unknown codec '{name}' for column "
+                        f"'{col}' (known: auto, {', '.join(sorted(CODEC_IDS))})")
+            codec[col] = name
+    elif args.codec != "auto" and args.codec not in CODEC_IDS:
+        p.error(f"--codec: unknown codec '{args.codec}'")
+
+    spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
 
     # the scan path (direct Arrow row-group reads, no JVM row
     # conversion — measured ~80% of DataFrame-path encode wall) is the

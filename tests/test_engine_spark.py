@@ -356,3 +356,38 @@ def test_string_bounds_conservative():
     ff = pa.array([b"\xff" * 32, b"a"], type=pa.binary())
     lo, hi = _string_bounds(ff)
     assert lo == b"a" and hi is None  # unbounded, conservative
+
+
+def test_verify_table_audit(spark, tmp_path):
+    """verify_table: all-zero on a lossless table; catches injected
+    value corruption; filters by table name on multi-table roots."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    enc = engine.encode_dataframe(
+        df, ["o_orderkey", "o_totalprice"], chunk_rows=1024, table_name="orders"
+    ).cache()
+    res = engine.verify_table(df, enc, ["o_orderkey", "o_totalprice"],
+                              "o_orderkey long, o_totalprice double")
+    assert res == {"rows": df.count(), "missing": 0, "extra": 0}
+
+    # corrupt the SOURCE side: audit must report mismatches
+    bad_src = df.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == df.first()["o_orderkey"],
+               F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    )
+    res2 = engine.verify_table(bad_src, enc, ["o_orderkey", "o_totalprice"],
+                               "o_orderkey long, o_totalprice double")
+    assert res2["missing"] > 0 and res2["extra"] > 0
+
+    # multi-table root: the table filter keeps the audit scoped
+    other = engine.encode_dataframe(
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").selectExpr(
+            "n_nationkey as o_orderkey", "cast(n_regionkey as double) as o_totalprice"
+        ),
+        ["o_orderkey", "o_totalprice"], chunk_rows=1024, table_name="nation_alias",
+    )
+    both = enc.unionAll(other)
+    res3 = engine.verify_table(df, both, ["o_orderkey", "o_totalprice"],
+                               "o_orderkey long, o_totalprice double", table="orders")
+    assert res3 == {"rows": df.count(), "missing": 0, "extra": 0}
+    enc.unpersist()

@@ -430,3 +430,23 @@ def test_explicit_codec_on_all_null_chunk():
         out = framing.decode_chunk(blob, pa.float64())
         assert out.null_count == 3 and len(out) == 3
         assert meta.codec == "plain"
+
+
+def test_bss_roundtrip_property():
+    """bss survives adversarial lane content (all-zero lanes, const
+    lanes, random) for f32 and f64."""
+    rng2 = np.random.default_rng(11)
+    cases = [
+        rng2.standard_normal(5000).astype(np.float32),
+        (rng2.integers(0, 255, 5000) / 10).astype(np.float32),  # quantized
+        np.zeros(777, dtype=np.float64),
+        np.full(123, -0.0, dtype=np.float32),
+        rng2.standard_normal(5000).astype(np.float16).astype(np.float64),
+        np.array([], dtype=np.float32),
+    ]
+    for vals in cases:
+        blob = L.bss_encode(vals)
+        out = L.bss_decode(memoryview(blob), vals.size, vals.dtype)
+        np.testing.assert_array_equal(
+            out.view(np.uint8), np.ascontiguousarray(vals).view(np.uint8)
+        )

@@ -100,25 +100,3 @@ def test_bitpack_bitunpack_native_equals_python(no_native, monkeypatch):
         c_back = L.bitunpack(memoryview(c_blob), vals.size, width)
         np.testing.assert_array_equal(c_back, vals)
         monkeypatch.setattr(native_mod, "_FUNCS", {})
-
-
-def test_bss_roundtrip_property():
-    """bss survives adversarial lane content (all-zero lanes, const
-    lanes, random) for f32 and f64."""
-    from chimp_spark.codecs import light as L
-
-    rng = np.random.default_rng(11)
-    cases = [
-        rng.standard_normal(5000).astype(np.float32),
-        (rng.integers(0, 255, 5000) / 10).astype(np.float32),  # quantized
-        np.zeros(777, dtype=np.float64),
-        np.full(123, -0.0, dtype=np.float32),
-        rng.standard_normal(5000).astype(np.float16).astype(np.float64),
-        np.array([], dtype=np.float32),
-    ]
-    for vals in cases:
-        blob = L.bss_encode(vals)
-        out = L.bss_decode(memoryview(blob), vals.size, vals.dtype)
-        np.testing.assert_array_equal(
-            out.view(np.uint8), np.ascontiguousarray(vals).view(np.uint8)
-        )
