@@ -39,24 +39,44 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical values with multiplicity > 1.
+def exact_duplicates(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", max_ids: int = 100
+) -> DataFrame:
+    """Groups of byte-identical values with multiplicity > 1 ->
+    (h1, h2, ln, copies, sample_ids).
 
-    Aggregates on ``(xxhash64(col), length(col))`` — a 12-byte,
-    map-side-combinable shuffle key — never on the value itself, so at
-    100 TB the shuffle moves key+ids, not the corpus. Collision odds
-    for 64-bit hash + length are ~n^2/2^65 per length class; callers
-    needing certainty verify within the (tiny) reported groups.
+    Aggregates on two independent 64-bit hashes + length (a 20-byte
+    shuffle key, 128 effective hash bits — collision-free in practice,
+    unlike a single xxhash64 whose within-length-class collisions are
+    non-negligible at 10^10 docs) — never on the value itself, so at
+    100 TB the shuffle moves keys+ids, not the corpus. Per-column null
+    flags are mixed in because Spark's xxhash64 SKIPS null inputs.
+
+    Output rows are BOUNDED: ``sample_ids`` holds at most ``max_ids``
+    exemplars per group (rank-filtered *before* the collect, so the
+    aggregation buffer itself is bounded); ``copies`` carries the full
+    multiplicity. A pathologically hot value (a boilerplate page with
+    10^8 copies) therefore costs one ordinary row, not a multi-GB one.
     """
+    from pyspark.sql import Window
+
+    nullf = F.col(col).isNull().cast("int")
     keyed = df.select(
         F.col(id_col),
-        F.xxhash64(col).alias("h"),
+        F.xxhash64(col, nullf).alias("h1"),
+        F.xxhash64(F.lit("cs2"), col, nullf).alias("h2"),
         F.length(col).alias("ln"),
     )
+    key = ["h1", "h2", "ln"]
+    w = Window.partitionBy(*key)
+    ranked = keyed.withColumn("copies", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(w.orderBy(id_col))
+    )
+    # the groupBy reuses the window's hash partitioning — one exchange
     return (
-        keyed.groupBy("h", "ln")
-        .agg(F.count("*").alias("copies"), F.collect_list(id_col).alias("doc_ids"))
-        .filter(F.col("copies") > 1)
+        ranked.filter((F.col("copies") > 1) & (F.col("rn") <= max_ids))
+        .groupBy(*key, "copies")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("sample_ids"))
     )
 
 
@@ -381,19 +401,23 @@ def simhash_candidate_pairs(
     max_hamming pairs share at least one of max_hamming+1 bands),
     verify exact Hamming distance with bit ops.
 
+    ``words`` is REQUIRED (the word count used in
+    ``simhash_signatures(words=...)``): plan construction stays lazy —
+    no sniffing job runs before the caller's action.
+
     Single-word signatures band into ``bands`` (default
     max_hamming+1) sub-keys of 64/bands bits; multi-word signatures
     use one whole 64-bit word per band — the web-scale shape where
     bucket sizes stay O(1) at 10^9+ docs."""
     sig = F.col("simhash")
     keyed = sigs.select("id", "simhash")
-    if words is not None:
-        n_words = words  # caller knows (simhash_signatures(words=...))
-    else:
-        # sniff from one row — note this runs an eager mini-job at
-        # plan-construction time; pass ``words`` to stay lazy
-        first = sigs.select(F.size(sig).alias("w")).limit(1).collect()
-        n_words = first[0]["w"] if first else 1
+    if words is None:
+        raise TypeError(
+            "simhash_candidate_pairs: 'words' is required (pass the value "
+            "given to simhash_signatures(words=...)); inferring it would "
+            "run an eager job at plan-construction time"
+        )
+    n_words = words
     if n_words > 1:
         # multi-word signatures: one whole 64-bit word per band. The
         # pigeonhole guarantee needs max_hamming+1 DISTINCT bands —

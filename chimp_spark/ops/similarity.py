@@ -148,22 +148,19 @@ def ivf_centroids(
     seed: int = 7,
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: k-means (cosine / normalized) on
-    a bounded driver-side RANDOM sample. ``limit()`` would read the
-    first partitions only — a corpus laid out by a key correlated with
-    the embedding clusters would then train every centroid on one
-    region. The sample is capped (default 8k vectors = ~2 MB at dim
-    64), so driver memory stays flat no matter the corpus size;
-    centroids broadcast to executors via closure."""
-    n_total = df.count()
-    if n_total == 0:
-        raise ValueError("ivf_centroids: empty input")
-    frac = min(1.0, (sample * 1.3) / n_total)
+    a bounded driver-side RANDOM sample. ``limit()`` alone would read
+    the first partitions only — a corpus laid out by a key correlated
+    with the embedding clusters would then train every centroid on one
+    region. The sample is a rand()-keyed top-k (TakeOrderedAndProject:
+    each task keeps a ``sample``-row heap — ONE corpus pass, no prior
+    count() pass, driver memory capped at default 8k vectors = ~2 MB
+    at dim 64); centroids broadcast to executors via closure."""
     rows = (
-        df.select(vec_col).sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(sample).collect()
+        df.select(F.col(vec_col), F.rand(seed).alias("__r"))
+        .orderBy("__r").limit(sample).drop("__r").collect()
     )
-    if not rows:  # tiny fraction rounded to nothing
-        rows = df.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("ivf_centroids: empty input")
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
     if mat.ndim != 2 or mat.shape[0] == 0:
         raise ValueError("ivf_centroids: empty or ragged sample")

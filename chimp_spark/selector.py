@@ -114,7 +114,14 @@ def choose_codec(
                     lambda v: L.dec_for_encode(v, k_hint=k), "dec_for"
                 )
             except L.NotDecimalError:
-                pass  # sampled-decimal but not chunk-decimal
+                # sampled-decimal but not chunk-decimal: fall through to
+                # the full non-decimal candidate set — leaving only
+                # plain/rle/xor_split would regress near-decimal chunks
+                # to a clearly worse codec
+                cands["chimp"] = len(L.chimp_block_encode(sample))
+                cands["patas"] = len(L.patas_block_encode(sample))
+                cands["chimpn"] = len(L.chimpn_block_encode(sample))
+                cands["bss"] = len(L.bss_encode(sample))
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
         else:
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))

@@ -450,3 +450,23 @@ def test_bss_roundtrip_property():
         np.testing.assert_array_equal(
             out.view(np.uint8), np.ascontiguousarray(vals).view(np.uint8)
         )
+
+
+def test_selector_near_decimal_falls_to_xor_family():
+    """A chunk whose SAMPLE looks decimal but whose tail is not (a
+    handful of full-precision floats) must fall through to the real
+    non-decimal candidate set — not collapse to plain/xor_split only
+    (review finding: near-decimal chunks regressed to a worse codec)."""
+    from chimp_spark import selector
+
+    rng = np.random.default_rng(11)
+    vals = np.round(100.0 + np.cumsum(rng.standard_normal(20_000)) * 0.1, 2)
+    vals[-7:] = vals[-7:] + np.pi * 1e-9  # tail breaks decimality
+    out = selector.choose_codec(vals, "f64")
+    codec, reason = out[0], out[1]
+    assert codec in ("chimp", "chimpn", "patas", "gorilla", "bss", "xor_split")
+    # the XOR-family trials must have actually run
+    assert "chimp" in reason
+    blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+    got = framing.decode_chunk(blob, pa.float64())
+    assert np.array_equal(np.asarray(got), vals)
