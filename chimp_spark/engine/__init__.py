@@ -9,7 +9,7 @@ from .core import (
     verify_table,
 )
 from .manifest import EncodedTable, encode_and_commit
-from .scan import encode_parquet
+from .scan import encode_parquet, parquet_work_units, resolve_paths, units_fingerprint
 from .partitioning import (
     detect_hot_keys,
     repartition_balanced,
@@ -28,6 +28,9 @@ __all__ = [
     "encode_and_commit",
     "encode_dataframe",
     "encode_parquet",
+    "parquet_work_units",
+    "resolve_paths",
+    "units_fingerprint",
     "get_spark",
     "repartition_balanced",
     "repartition_by_range",

@@ -73,17 +73,50 @@ class EncodedTable:
         row-group unit indices ('scan') — resuming one from the
         other's entries would silently skip unrelated data. mode=None
         returns every batch entry. Entries written before modes
-        existed (no 'mode' key) count for EVERY mode: mis-skipping a
-        legacy id risks duplicate rows, but ignoring it would
-        re-encode committed data — duplication on mixed legacy tables
-        is the lesser failure, and new commits always carry a mode."""
+        existed (no 'mode' key) count for NO mode-specific query:
+        their namespace is unknown, so treating them as completed
+        would let a scan resume skip unit ids that collide with legacy
+        DataFrame partition ids — silently dropping never-encoded row
+        groups. Excluding them makes mixed legacy tables re-encode
+        (duplication), the lesser failure; new commits always carry a
+        mode."""
         return {
             e["part_id"]
             for e in self.manifest_entries()
             if e["table"] == table and e["part_id"] >= 0
             and e.get("committed", True) and e.get("epoch") is None
-            and (mode is None or e.get("mode") in (mode, None))
+            and (mode is None or e.get("mode") == mode)
         }
+
+    def completed_scan_units(self, table: str, fingerprint: str) -> set[int]:
+        """Scan-path resume with input-identity validation.
+
+        Scan unit ids are POSITIONAL over the sorted input file list
+        and per-file row-group counts; if the input directory changed
+        between runs (files added/replaced), committed ids map to
+        different row groups and a blind resume silently skips
+        never-encoded data. Every scan commit records the file-set
+        fingerprint (see scan.units_fingerprint); resume REFUSES when
+        any committed scan entry carries a different or missing one.
+        """
+        stale = [
+            e for e in self.manifest_entries()
+            if e["table"] == table and e["part_id"] >= 0
+            and e.get("committed", True) and e.get("epoch") is None
+            and e.get("mode") == "scan"
+            and e.get("fingerprint") != fingerprint
+        ]
+        if stale:
+            got = sorted({str(e.get("fingerprint")) for e in stale})
+            raise ValueError(
+                f"scan resume refused for table '{table}': {len(stale)} "
+                f"committed scan entries were encoded from a different "
+                f"input file set (fingerprint {got} != {fingerprint!r}). "
+                "The positional unit ids no longer identify the same row "
+                "groups. Encode into a fresh table root, or rerun with "
+                "resume disabled to append a full re-encode."
+            )
+        return self.completed_part_ids(table, mode="scan")
 
     def data_files(self) -> list[str]:
         return [os.path.join(self.data_dir, e["file"]) for e in self.manifest_entries()]
@@ -98,9 +131,12 @@ class EncodedTable:
         }
 
     def commit(self, spark: SparkSession, encoded: DataFrame, table: str,
-               epoch: int | None = None, mode: str | None = None) -> dict:
+               epoch: int | None = None, mode: str | None = None,
+               fingerprint: str | None = None) -> dict:
         """Write encoded chunks as per-partition parquet files + new
-        snapshot. Returns commit stats."""
+        snapshot. ``fingerprint`` (scan mode) records the input
+        file-set identity the positional unit ids were derived from —
+        see completed_scan_units. Returns commit stats."""
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         run_id = uuid.uuid4().hex[:12]
@@ -137,6 +173,7 @@ class EncodedTable:
                     "table": table,
                     "epoch": epoch,
                     "mode": mode,
+                    "fingerprint": fingerprint,
                     "part_id": pid,
                     "chunks": s["chunks"],
                     "rows": s["rows"],

@@ -30,6 +30,33 @@ from .core import DEFAULT_CHUNK_ROWS, ENC_ARROW_SCHEMA, ENC_DDL
 from ..framing import encode_chunk
 
 
+def resolve_paths(paths: list[str] | str) -> list[str]:
+    """Normalize a file / directory / list input to a sorted file list
+    (the identity that positional unit ids are derived from)."""
+    import glob as _glob
+    import os
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            return sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+        return [paths]
+    return sorted(paths)
+
+
+def units_fingerprint(units: list[tuple[int, str, int]]) -> str:
+    """Identity of the (sorted file list, per-file row-group counts)
+    a unit list was derived from. Unit ids are positional, so resume
+    is only valid against the exact same file set — commits record
+    this fingerprint and EncodedTable.completed_scan_units refuses to
+    resume across a change (new crawl files, replaced files)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for _uid, path, rg in units:
+        h.update(f"{path}\x00{rg}\x1e".encode())
+    return h.hexdigest()[:24]
+
+
 def parquet_work_units(
     paths: list[str], spark: SparkSession | None = None
 ) -> list[tuple[int, str, int]]:
@@ -73,27 +100,25 @@ def encode_parquet(
     table_name: str = "t",
     num_slices: int | None = None,
     skip_part_ids: set[int] | None = None,
+    units: list[tuple[int, str, int]] | None = None,
 ) -> DataFrame:
     """Encoded-chunk DataFrame, reading row groups directly via Arrow.
 
     ``skip_part_ids`` (unit ids already committed — see
-    EncodedTable.completed_part_ids) enables resume at row-group
-    granularity: unit ids are deterministic for a given file set."""
+    EncodedTable.completed_scan_units, which also validates the input
+    file set against the committed fingerprint) enables resume at
+    row-group granularity: unit ids are deterministic for a given file
+    set. ``units`` accepts a precomputed parquet_work_units list so
+    callers that fingerprint the input don't pay the footer reads
+    twice."""
     from .. import _ship
 
     _ship.ensure(spark)
-    import glob as _glob
-    import os
-
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
-        else:
-            paths = [paths]
     import uuid
 
     run_id = uuid.uuid4().hex[:12]
-    units = parquet_work_units(paths, spark)
+    if units is None:
+        units = parquet_work_units(resolve_paths(paths), spark)
     if skip_part_ids:
         units = [u for u in units if u[0] not in skip_part_ids]
     if not units:

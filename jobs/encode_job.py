@@ -85,17 +85,27 @@ def main() -> None:
         and not args.partitions
     )
     if use_scan:
-        from chimp_spark.engine import EncodedTable, encode_parquet
+        from chimp_spark.engine import (
+            EncodedTable,
+            encode_parquet,
+            parquet_work_units,
+            resolve_paths,
+            units_fingerprint,
+        )
 
         t = EncodedTable(args.output)
-        # scan unit ids and DataFrame partition ids are different
-        # namespaces: resume only from entries committed by this mode
-        done = t.completed_part_ids(args.table, mode="scan") if not args.no_resume else None
+        # scan unit ids are positional over (sorted files, row-group
+        # counts): fingerprint the input so resume refuses if the file
+        # set changed since the committed entries were written (ids
+        # would silently map to different row groups)
+        units = parquet_work_units(resolve_paths(args.input), spark)
+        fp = units_fingerprint(units)
+        done = t.completed_scan_units(args.table, fp) if not args.no_resume else None
         cols = args.columns.split(",") if args.columns else None
         enc = encode_parquet(spark, args.input, columns=cols, codec=codec,
                              chunk_rows=args.chunk_rows, table_name=args.table,
-                             skip_part_ids=done)
-        stats = t.commit(spark, enc, args.table, mode="scan")
+                             skip_part_ids=done, units=units)
+        stats = t.commit(spark, enc, args.table, mode="scan", fingerprint=fp)
         print(json.dumps({"job": "encode-scan", "table": args.table,
                           "resumed_units": len(done or ()), **stats}))
         spark.stop()

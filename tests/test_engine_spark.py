@@ -391,3 +391,54 @@ def test_verify_table_audit(spark, tmp_path):
                                "o_orderkey long, o_totalprice double", table="orders")
     assert res3 == {"rows": df.count(), "missing": 0, "extra": 0}
     enc.unpersist()
+
+
+def test_legacy_modeless_entries_never_satisfy_mode_queries(spark, tmp_path):
+    """Entries committed before part-id namespaces existed (no mode)
+    must count for NO mode-specific resume query: a scan resume that
+    trusted a legacy DataFrame partition id would silently skip a
+    never-encoded row group (advisor-found data-loss direction). The
+    consequence — mixed legacy tables re-encode — is the documented
+    lesser failure."""
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").repartition(2)
+    enc = engine.encode_dataframe(df, ["c_custkey"], chunk_rows=512,
+                                  table_name="customer")
+    t = engine.EncodedTable(str(tmp_path / "legacy"))
+    t.commit(spark, enc, "customer", mode=None)  # legacy: no namespace
+    assert t.completed_part_ids("customer", mode="df") == set()
+    assert t.completed_part_ids("customer", mode="scan") == set()
+    assert t.completed_part_ids("customer") == {0, 1}  # unfiltered view
+
+
+def test_scan_resume_refuses_changed_file_set(spark, tmp_path):
+    """Scan unit ids are positional over (sorted files, row-group
+    counts); resume must refuse when the input file set changed since
+    the committed entries (advisor-found silent skip/duplication)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    src = str(tmp_path / "many")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    paths = engine.resolve_paths(src)
+    units = engine.parquet_work_units(paths)
+    fp = engine.units_fingerprint(units)
+
+    root = str(tmp_path / "enc")
+    t = engine.EncodedTable(root)
+    part1 = engine.encode_parquet(spark, src, columns=["o_orderkey"],
+                                  table_name="orders",
+                                  units=units).filter(F.col("part_id") < 1)
+    t.commit(spark, part1, "orders", mode="scan", fingerprint=fp)
+    assert t.completed_scan_units("orders", fp) == {0}
+
+    # same table, new crawl file added -> different fingerprint -> refuse
+    df.limit(100).write.mode("append").parquet(src)
+    units2 = engine.parquet_work_units(engine.resolve_paths(src))
+    fp2 = engine.units_fingerprint(units2)
+    assert fp2 != fp
+    with pytest.raises(ValueError, match="scan resume refused"):
+        t.completed_scan_units("orders", fp2)
+
+    # entries missing a fingerprint (pre-upgrade scan commits) refuse too
+    t2 = engine.EncodedTable(str(tmp_path / "enc2"))
+    t2.commit(spark, part1, "orders", mode="scan")  # no fingerprint
+    with pytest.raises(ValueError, match="scan resume refused"):
+        t2.completed_scan_units("orders", fp)
