@@ -411,6 +411,48 @@ long fsst_compress_block(
     }
     return op;
 }
+
+/* FSST decode, pass 1: exact decoded byte count. Escapes (0xFF) never
+   straddle string boundaries (the compressor emits them whole), so a
+   single global walk is safe. */
+long fsst_decoded_size(const uint8_t* codes, long m, const int32_t* sym_len) {
+    long op = 0;
+    for (long p = 0; p < m; ) {
+        uint8_t c = codes[p];
+        if (c == 255) { op += 1; p += 2; }
+        else { op += sym_len[c]; p += 1; }
+    }
+    return op;
+}
+
+/* FSST decode, pass 2: table-row copies. Each symbol row is 8 padded
+   bytes, so the copy is a fixed-size 8-byte store (compiles to one
+   unaligned mov) advanced by the true symbol length; out needs >= 8
+   bytes of slack past the final byte (caller allocates size+8).
+   byte_ends[si] = decoded end offset of string si. Returns total
+   decoded bytes, or -1 if out_cap would be overrun (corrupt input). */
+long fsst_decode_block(
+    const uint8_t* codes, const int64_t* code_offs, long n_strings,
+    const uint8_t* table, const int32_t* sym_len,
+    uint8_t* out, long out_cap, int64_t* byte_ends)
+{
+    long op = 0;
+    for (long si = 0; si < n_strings; si++) {
+        long p = code_offs[si], e = code_offs[si + 1];
+        while (p < e) {
+            uint8_t c = codes[p];
+            if (op + 8 > out_cap) return -1;
+            if (c == 255) { out[op++] = codes[p + 1]; p += 2; }
+            else {
+                memcpy(out + op, table + ((long)c << 3), 8);
+                op += sym_len[c];
+                p += 1;
+            }
+        }
+        byte_ends[si] = op;
+    }
+    return op;
+}
 """
 
 _FUNCS: dict | None = None
@@ -473,6 +515,12 @@ def _build() -> dict | None:
         fn.argtypes = [
             u8p, i64p, ctypes.c_long, u8p, i32p, ctypes.c_int, u8p, i64p,
         ]
+    lib.fsst_decoded_size.restype = ctypes.c_long
+    lib.fsst_decoded_size.argtypes = [u8p, ctypes.c_long, i32p]
+    lib.fsst_decode_block.restype = ctypes.c_long
+    lib.fsst_decode_block.argtypes = [
+        u8p, i64p, ctypes.c_long, u8p, i32p, u8p, ctypes.c_long, i64p,
+    ]
     return {
         "prev_same_lsb": lib.prev_same_lsb,
         "bu_fixed": lib.bu_fixed,
@@ -486,6 +534,8 @@ def _build() -> dict | None:
         "patas_dec": lib.patas_dec,
         "fsst_compress_block": lib.fsst_compress_block,
         "fsst_compress_block2": lib.fsst_compress_block2,
+        "fsst_decoded_size": lib.fsst_decoded_size,
+        "fsst_decode_block": lib.fsst_decode_block,
     }
 
 

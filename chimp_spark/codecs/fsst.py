@@ -334,6 +334,29 @@ def decode(buf: memoryview, n_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
     )
     pos += lens_sz
     codes = np.frombuffer(buf[pos:], dtype=np.uint8)
+    m = codes.size
+
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None and n:
+        # C fast path: one sizing walk + one 8-byte-store copy walk
+        # (the decode hot loop — the numpy escape-parity path below
+        # stays as the reference/fallback implementation)
+        code_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(code_lens, out=code_off[1:])
+        sym_len32 = sym_len.astype(np.int32)
+        codes_c = np.ascontiguousarray(codes)
+        total = int(nat["fsst_decoded_size"](codes_c, m, sym_len32)) if m else 0
+        out = np.empty(total + 8, dtype=np.uint8)
+        byte_ends = np.zeros(n + 1, dtype=np.int64)
+        got = nat["fsst_decode_block"](
+            codes_c, code_off, n, np.ascontiguousarray(table.ravel()),
+            sym_len32, out, total + 8, byte_ends[1:],
+        )
+        if got == total:
+            return byte_ends, out[:total]
+        # inconsistent sizing (corrupt payload): numpy reference decides
 
     # resolve escapes: within each maximal run of 0xFF bytes, even
     # offsets are escape markers, odd offsets are literal payloads;

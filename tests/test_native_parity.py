@@ -100,3 +100,25 @@ def test_bitpack_bitunpack_native_equals_python(no_native, monkeypatch):
         c_back = L.bitunpack(memoryview(c_blob), vals.size, width)
         np.testing.assert_array_equal(c_back, vals)
         monkeypatch.setattr(native_mod, "_FUNCS", {})
+
+
+def test_fsst_decode_native_equals_python(no_native, monkeypatch):
+    """The C decode (sizing walk + 8-byte-store copy walk) must produce
+    byte-identical (offsets, data) to the numpy escape-parity path,
+    including 0xFF-literal runs, empty strings, and full-byte-range
+    payloads."""
+    rng = np.random.default_rng(7)
+    vocab = "the of and web page data crawl index \xff\xff odd".split()
+    strings = [(" ".join(rng.choice(vocab, rng.integers(0, 40)))).encode() for _ in range(3000)]
+    strings += [b"", b"\xff" * 9, bytes(range(256)), b"\xff"]
+    data = b"".join(strings)
+    offs = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offs[1:])
+    blob = fsst.encode(offs, np.frombuffer(data, dtype=np.uint8))
+    be_py, data_py = fsst.decode(memoryview(blob))  # native disabled
+    monkeypatch.setattr(native_mod, "_FUNCS", None)  # re-enable
+    be_nat, data_nat = fsst.decode(memoryview(blob))
+    monkeypatch.setattr(native_mod, "_FUNCS", {})
+    np.testing.assert_array_equal(be_py, be_nat)
+    np.testing.assert_array_equal(np.asarray(data_py), np.asarray(data_nat))
+    assert bytes(data_nat) == data
