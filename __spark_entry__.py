@@ -229,25 +229,41 @@ def _simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(sigs, max_hamming=0, words=1)
 
 
+def _ann_index_root(sf_dir: str, kind: str, tag: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(f"{sf_dir}:{kind}:{tag}".encode()).hexdigest()[:10]
+    return f"/tmp/chimp_spark_ann_{os.path.basename(sf_dir.rstrip('/'))}_{kind}_{h}"
+
+
 def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (approximate by design -> rows-only)."""
-    from chimp_spark.ops import similarity
+    """ANN top-k against a PERSISTED LSH index (approximate by design
+    -> rows-only): the index is built once (partitioned by (t, pfx),
+    bucket-sorted), then the query scans only probed partitions —
+    never the corpus."""
+    from chimp_spark.ops import ann_index
 
     emb = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
-    return similarity.lsh_bucketed_topk(emb, q, k=5, nbits=6)
+    root = _ann_index_root(sf_dir, "lsh", "nbits6_t4_s7")
+    if not os.path.exists(os.path.join(root, "ann_index.json")):
+        ann_index.build_lsh_index(emb, root, dim=len(q), nbits=6, tables=4)
+    return ann_index.lsh_index_topk(spark, root, q, k=5)
 
 
 def _ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN top-k (approximate by design ->
-    rows-only): k-means lists trained on a bounded sample, query
-    probes its nprobe nearest lists, exact rank within them."""
-    from chimp_spark.ops import similarity
+    """ANN top-k against a PERSISTED IVF index (approximate by design
+    -> rows-only): coarse quantizer trained on a bounded sample, the
+    corpus assigned and written partitioned by list_id once; the query
+    scans only its nprobe nearest list partitions."""
+    from chimp_spark.ops import ann_index
 
-    emb = _read(spark, sf_dir, "embeddings").cache()
+    emb = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
-    cents = similarity.ivf_centroids(emb, dim=len(q), n_centroids=16)
-    return similarity.ivf_topk(emb, cents, q, k=5, nprobe=6)
+    root = _ann_index_root(sf_dir, "ivf", "c16_s7")
+    if not os.path.exists(os.path.join(root, "ann_index.json")):
+        ann_index.build_ivf_index(emb, root, dim=len(q), n_centroids=16)
+    return ann_index.ivf_index_topk(spark, root, q, k=5, nprobe=6)
 
 
 def _lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:

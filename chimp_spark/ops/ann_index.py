@@ -1,0 +1,245 @@
+"""Persisted ANN indexes: build once, query by partition-pruned scans.
+
+The index-free helpers in ``similarity`` recompute signatures /
+centroid assignments over the whole corpus per query — fine for batch
+joins, wrong for query serving: at 100 TB every top-k would pay a full
+corpus scan. These builders write the index ONCE as a partitioned
+parquet table; queries read only the probed partitions (visible as
+``PartitionFilters`` on the index scan — pinned in tests/test_plans).
+
+Layout (Iceberg-thin, mirroring engine.EncodedTable's style):
+
+    <root>/ann_index.json     params manifest: kind, dim, nbits/tables/
+                              seed/n_pfx (lsh) or n_centroids (ivf),
+                              id/vec column names
+    <root>/centroids.npy      (ivf) the trained coarse quantizer
+    <root>/index/             parquet, partitioned by
+                                (t, pfx)   [lsh]  or
+                                (list_id)  [ivf]
+
+LSH partitioning: a 32-bit bucket space can't be one directory per
+bucket, so the partition key is ``pfx = bucket & (n_pfx-1)`` (bounded
+fan-out, default 256 dirs/table); the full ``bucket`` column is stored
+and sorted within partitions, so the residual bucket predicate prunes
+at row-group granularity via parquet min/max after the directory-level
+partition prune. Vectors are stored IN the index (storage = tables x
+corpus) so a query never rejoins the corpus.
+
+Query cost: LSH reads ~(probes/n_pfx) of each table's partition space;
+IVF reads nprobe/n_centroids of the corpus. Both rank exactly within
+candidates (cosine fold, JVM-side).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _dense_matrix,
+    _hyperplanes,
+    cosine_topk,
+    ivf_centroids,
+)
+
+_MANIFEST = "ann_index.json"
+
+
+def _write_manifest(root: str, meta: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(root, _MANIFEST))
+
+
+def load_manifest(root: str) -> dict:
+    with open(os.path.join(root, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
+                    id_col: str, vec_col: str) -> DataFrame:
+    """(t, id, bucket, vec) rows for every table's hyperplane set —
+    ONE corpus pass emits all tables (vs one scan per table)."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    sel = df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
+    nbits = planes_by_t[0].shape[0]
+    planes_all = np.stack(planes_by_t)  # (tables, nbits, dim)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        weights = 1 << np.arange(nbits, dtype=np.int64)
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            mat = _dense_matrix(vecs, dim, b.num_rows)
+            for t, planes in enumerate(planes_all):
+                proj = mat @ planes.T
+                sig = ((proj > 0) @ weights).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(b.num_rows, t, dtype=np.int32)),
+                        ids,
+                        pa.array(sig),
+                        vecs,
+                    ],
+                    names=["t", "id", "bucket", "vec"],
+                )
+
+    return sel.mapInArrow(kernel, "t int, id long, bucket long, vec array<float>")
+
+
+def build_lsh_index(
+    df: DataFrame, root: str, dim: int, nbits: int = 16, tables: int = 4,
+    seed: int = 7, n_pfx: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> dict:
+    """Build + persist a multi-table random-hyperplane index.
+
+    One corpus pass computes every table's signatures; the write is
+    partitioned by (t, pfx) and sorted by bucket within partitions so
+    queries prune directories first, then row groups. Size (nbits,
+    tables) with similarity.ann_params. Returns the manifest."""
+    n_pfx = int(min(1 << nbits, n_pfx or 256))
+    planes_by_t = [_hyperplanes(dim, nbits, seed + 1009 * t) for t in range(tables)]
+    rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col)
+    idx = rows.withColumn("pfx", F.col("bucket").bitwiseAND(F.lit(n_pfx - 1)))
+    (
+        idx.repartition("t", "pfx")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("t", "pfx")
+        .parquet(os.path.join(root, "index"))
+    )
+    meta = {
+        "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
+        "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
+    }
+    _write_manifest(root, meta)
+    return meta
+
+
+def _lsh_probes(meta: dict, query: list[float], multiprobe: int) -> dict[int, list[int]]:
+    """Per-table probe bucket sets (query bucket + <=multiprobe-bit
+    flips) — driver-side math on the manifest's seeds, no corpus I/O."""
+    nbits = meta["nbits"]
+    q = np.asarray(query, dtype=np.float32)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+    out: dict[int, list[int]] = {}
+    for t in range(meta["tables"]):
+        planes = _hyperplanes(meta["dim"], nbits, meta["seed"] + 1009 * t)
+        qsig = int(((q @ planes.T) > 0) @ weights)
+        probes = {qsig}
+        if multiprobe >= 1:
+            probes |= {qsig ^ (1 << b) for b in range(nbits)}
+        out[t] = sorted(probes)
+    return out
+
+
+def lsh_index_topk(
+    spark: SparkSession, root: str, query: list[float], k: int = 10,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k against a persisted LSH index: the scan reads ONLY the
+    probed (t, pfx) partitions (directory prune) and within them only
+    row groups whose bucket range overlaps the probes (min/max prune);
+    exact cosine ranks the surviving candidates."""
+    meta = load_manifest(root)
+    if meta["kind"] != "lsh":
+        raise ValueError(f"index at {root} is kind={meta['kind']!r}, not lsh")
+    if len(query) != meta["dim"]:
+        raise ValueError(f"query dim {len(query)} != index dim {meta['dim']}")
+    probes = _lsh_probes(meta, query, multiprobe)
+    n_pfx = meta["n_pfx"]
+    pfx_all = sorted({p & (n_pfx - 1) for ps in probes.values() for p in ps})
+    per_table = [
+        (F.col("t") == t) & F.col("bucket").isin(ps) for t, ps in probes.items()
+    ]
+    idx = (
+        spark.read.parquet(os.path.join(root, "index"))
+        # leading conjuncts over the PARTITION columns alone -> directory
+        # prune; the OR-of-tables residual exactifies per-table buckets
+        .filter(F.col("pfx").isin(pfx_all))
+        .filter(reduce(lambda a, b: a | b, per_table))
+    )
+    cands = idx.select(
+        F.col("id").alias(meta["id_col"]), F.col("vec").alias(meta["vec_col"])
+    ).dropDuplicates([meta["id_col"]])
+    return cosine_topk(cands, query, k, meta["id_col"], meta["vec_col"])
+
+
+def build_ivf_index(
+    df: DataFrame, root: str, dim: int, n_centroids: int = 64,
+    sample: int = 8192, iters: int = 10, seed: int = 7,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> dict:
+    """Train the coarse quantizer (one bounded-sample pass), assign the
+    corpus (one pass), persist partitioned by list_id. Queries scan
+    nprobe/n_centroids of the data — the IVF contract."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    cents = ivf_centroids(df, dim, n_centroids, sample, iters, id_col, vec_col, seed)
+    cent = np.ascontiguousarray(cents, dtype=np.float32)
+    sel = df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            vecs = b.column(1)
+            mat = _dense_matrix(vecs, dim, b.num_rows)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = ((mat / norms) @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(assign), vecs], names=["id", "list_id", "vec"]
+            )
+
+    rows = sel.mapInArrow(kernel, "id long, list_id int, vec array<float>")
+    (
+        rows.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(root, "index"))
+    )
+    os.makedirs(root, exist_ok=True)
+    np.save(os.path.join(root, "centroids.npy"), cent)
+    meta = {
+        "kind": "ivf", "dim": dim, "n_centroids": int(cent.shape[0]),
+        "seed": seed, "id_col": id_col, "vec_col": vec_col,
+    }
+    _write_manifest(root, meta)
+    return meta
+
+
+def ivf_index_topk(
+    spark: SparkSession, root: str, query: list[float], k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index: centroid math on the
+    driver picks nprobe lists; the scan reads ONLY those list_id
+    partitions; exact cosine ranks within them."""
+    meta = load_manifest(root)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"index at {root} is kind={meta['kind']!r}, not ivf")
+    if len(query) != meta["dim"]:
+        raise ValueError(f"query dim {len(query)} != index dim {meta['dim']}")
+    cent = np.load(os.path.join(root, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(x) for x in np.argsort(-(cent @ qn))[:nprobe]]
+    idx = spark.read.parquet(os.path.join(root, "index")).filter(
+        F.col("list_id").isin(probes)
+    )
+    cands = idx.select(
+        F.col("id").alias(meta["id_col"]), F.col("vec").alias(meta["vec_col"])
+    )
+    return cosine_topk(cands, query, k, meta["id_col"], meta["vec_col"])

@@ -356,3 +356,82 @@ def test_simhash_candidate_pairs_is_lazy(spark):
     assert "a" in pairs.columns  # plan built, nothing executed
     with pytest.raises(TypeError, match="words"):
         dedup.simhash_candidate_pairs(sigs, max_hamming=1)
+
+
+def _planted_corpus(embeddings, rng_seed=3, mult=2):
+    """Corpus with planted near-neighbors (cos ~0.995) of the first 4
+    vectors — the regime ANN serving actually runs in."""
+    base = embeddings.collect()
+    rng_ = np.random.default_rng(rng_seed)
+    rows, vid = [], 0
+    for rep in range(mult):
+        for r in base:
+            v = np.asarray(r["embedding"], dtype=np.float32)
+            if rep:
+                v = v[rng_.permutation(v.size)]
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    planted = {}
+    for qi in range(4):
+        q = np.asarray(rows[qi][1], dtype=np.float32)
+        ids = []
+        for _ in range(3):
+            noise = rng_.standard_normal(q.size).astype(np.float32) * 0.01
+            rows.append((vid, [float(x) for x in (q + noise)]))
+            ids.append(vid)
+            vid += 1
+        planted[qi] = ids
+    return rows, planted
+
+
+def test_persisted_lsh_index_recall(spark, embeddings, tmp_path):
+    """Persisted-index ANN must match the recall of the index-free
+    path: build once (partitioned by (t, pfx)), query via pruned
+    scans only."""
+    from chimp_spark.ops import ann_index
+
+    rows, planted = _planted_corpus(embeddings)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    n = df.count()
+    params = similarity.ann_params(n, target_bucket=64)
+    root = str(tmp_path / "lsh")
+    meta = ann_index.build_lsh_index(
+        df, root, dim=64, nbits=params["nbits"], tables=params["tables"]
+    )
+    assert meta["kind"] == "lsh"
+    hits = want = 0
+    for qi, ids in planted.items():
+        q = rows[qi][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+        assert set(ids) <= set(exact)
+        ann = [r["vec_id"] for r in
+               ann_index.lsh_index_topk(spark, root, q, k=4).collect()]
+        hits += len(set(exact) & set(ann))
+        want += 4
+    assert hits / want >= 0.9, f"persisted-lsh recall {hits}/{want}"
+    df.unpersist()
+
+
+def test_persisted_ivf_index_recall(spark, embeddings, tmp_path):
+    from chimp_spark.ops import ann_index
+
+    rows, planted = _planted_corpus(embeddings, rng_seed=5, mult=1)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    root = str(tmp_path / "ivf")
+    meta = ann_index.build_ivf_index(df, root, dim=64, n_centroids=16)
+    assert meta["kind"] == "ivf"
+    hits = want = 0
+    for qi, ids in planted.items():
+        q = rows[qi][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+        ann = [r["vec_id"] for r in
+               ann_index.ivf_index_topk(spark, root, q, k=4, nprobe=4).collect()]
+        hits += len(set(exact) & set(ann))
+        want += 4
+    assert hits / want >= 0.9, f"persisted-ivf recall {hits}/{want}"
+    # guard rails
+    with pytest.raises(ValueError, match="kind"):
+        ann_index.lsh_index_topk(spark, root, rows[0][1], k=2)
+    with pytest.raises(ValueError, match="dim"):
+        ann_index.ivf_index_topk(spark, root, [1.0, 2.0], k=2)
+    df.unpersist()
