@@ -304,6 +304,28 @@ def main() -> None:
         enc.unpersist()
         df.unpersist()
 
+        # decode path for TEXT (documents — the dominant payload of a
+        # 100 TB training corpus; training jobs RE-READ text shards, so
+        # the read side matters as much as encode)
+        dfd = _replicated(spark, SF_DIR, "documents", REP * 4, CPUS)
+        dfd.count()
+        encd = engine.encode_dataframe(dfd, ["doc_id", "text"], codec="auto",
+                                       chunk_rows=CHUNK, table_name="documents").cache()
+        encd.count()
+        tddl = "doc_id long, text string"
+        engine.decode_table(encd, ["doc_id", "text"], tddl).count()  # warm
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = engine.decode_table(encd, ["doc_id", "text"], tddl).count()
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        results["decode_documents"] = round(dt, 3)
+        rawd = encd.agg(F.sum("raw_bytes")).collect()[0][0]
+        extra["decode_documents"] = {"rows": n, "gbps": round(rawd / dt / 1e9, 4)}
+        encd.unpersist()
+        dfd.unpersist()
+
         # bulk-ingest fast path: stage a multi-row-group parquet file
         # (the realistic shape of a crawl dump) and encode it via the
         # direct-Arrow scan, bypassing JVM row conversion

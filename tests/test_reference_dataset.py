@@ -71,3 +71,73 @@ def test_codec_ordering_matches_paper_claims(values):
         sizes[name] = nbits
     assert sizes["chimpn"] <= sizes["chimp"]
     assert sizes["chimp"] < sizes["gorilla"]
+
+
+def _city_temp_series(n: int = 100_000) -> np.ndarray:
+    """Synthetic city-temperature-like series (the shape of the
+    reference's two STRIPPED benchmark CSVs, see
+    /root/reference/.MISSING_LARGE_BLOBS): annual + daily seasonality
+    + AR(1) weather noise, quantized to 0.1 degC the way sensor feeds
+    are. Seeded -> bit-deterministic, so per-codec bits/value are
+    stable pins."""
+    rng = np.random.default_rng(20260816)
+    t = np.arange(n, dtype=np.float64)
+    annual = 12.0 * np.sin(2 * np.pi * t / (365.25 * 24))
+    daily = 6.0 * np.sin(2 * np.pi * t / 24.0)
+    ar = np.empty(n)
+    ar[0] = 0.0
+    eps = rng.standard_normal(n) * 0.8
+    for i in range(1, n):
+        ar[i] = 0.95 * ar[i - 1] + eps[i]
+    return np.round(15.0 + annual + daily + ar, 1)
+
+
+# These encoders are bit-exact to the reference formats (literal
+# vectors in tests/test_xor_codecs.py), so the pins below are the
+# numbers the Rust binary would print on the same series. The ordering
+# mirrors the Chimp paper's city-temperature findings: Gorilla fails
+# on decimal-quantized data (trailing-zero starvation), Chimp128 wins.
+_TEMP_PINS = {"chimp": 47.728, "chimpn": 23.385, "gorilla": 64.093, "patas": 24.716}
+
+
+@pytest.mark.parametrize("codec", sorted(_TEMP_PINS))
+def test_city_temperature_series_bits_per_value(codec):
+    vals = _city_temp_series()
+    bits = vals.view(np.uint64)
+    enc, dec = CODECS[codec]
+    kwargs = {"fixed": False} if codec == "patas" else {}
+    words, total_bits = enc(bits, reference_close=True, **kwargs)
+    np.testing.assert_array_equal(dec(words, sentinel=True), bits)
+    bpv = total_bits / vals.size
+    assert abs(bpv - _TEMP_PINS[codec]) < 0.01, f"{codec}: {bpv:.3f}"
+    record = {"codec": codec, "dataset": "city_temp_synth",
+              "rows": int(vals.size), "bits_per_value": round(bpv, 3)}
+    with open("/tmp/reference_dataset_bits.jsonl", "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def test_city_temperature_auto_vs_best_reference_codec():
+    """The engine's auto selection on the raw series (which contains
+    -0.0 from rounding tiny negatives — NOT decimal-representable, so
+    dec_for correctly refuses and the near-decimal fallback picks an
+    XOR-family codec) must land within 10% of the best reference
+    codec; on the +0.0-normalized series dec_for detects the 0.1
+    quantization and must beat the best reference codec ~2x."""
+    import pyarrow as pa
+
+    from chimp_spark import framing
+
+    vals = _city_temp_series(50_000)
+    best_ref = min(_TEMP_PINS.values())
+
+    blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+    assert np.array_equal(np.asarray(framing.decode_chunk(blob, pa.float64())), vals)
+    assert meta.codec in ("patas", "chimpn", "chimp", "bss")  # fallback ran
+    assert len(blob) * 8 / vals.size <= 1.10 * best_ref
+
+    norm = vals + 0.0  # -0.0 -> +0.0: now exactly decimal
+    blob2, meta2 = framing.encode_chunk(pa.array(norm), codec="auto")
+    assert np.array_equal(np.asarray(framing.decode_chunk(blob2, pa.float64())), norm)
+    assert meta2.codec == "dec_for", meta2.reason
+    auto_bpv = len(blob2) * 8 / norm.size
+    assert auto_bpv <= best_ref / 1.8, f"auto {auto_bpv:.2f} vs best ref {best_ref}"

@@ -1,0 +1,113 @@
+"""Larger-than-testdata smoke: ~10^6 synthetic docs/vectors exercise
+the web-scale parameterizations end-to-end — simhash_params' multi-word
+path and ann_params-sized LSH — and pin that bucket-size distributions
+stay bounded (the property that keeps the candidate joins linear at
+10^9+). Inputs are generated JVM-side (hash-derived words/coords), so
+the test is CPU-cheap to set up and deterministic.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chimp_spark import engine
+from chimp_spark.ops import dedup, similarity
+
+N_DOCS = 1_000_000
+N_VECS = 1_000_000
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = engine.get_spark(cpus=16, app="scale_smoke", chunk_rows=65_536)
+    yield s
+    s.stop()
+
+
+def _synth_docs(spark, n):
+    """n docs of 12 words from a ~100k-word vocabulary, hash-derived
+    (deterministic, JVM-side — no driver materialization)."""
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda j: F.conv(
+            (F.abs(F.xxhash64(F.col("id") * 31 + j)) % 100_000).cast("string"),
+            10, 36,
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def test_simhash_multiword_at_1m_docs(spark):
+    """simhash_params(2M) -> 4-word signatures; planted exact dups
+    among 10^6 mostly-unique docs must be found, and no band bucket
+    may exceed a constant factor of the expected size (linear join)."""
+    p = dedup.simhash_params(2 * N_DOCS)
+    assert p["words"] == 4
+    base = _synth_docs(spark, N_DOCS)
+    planted = base.filter(F.col("doc_id") < 500).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    sigs = dedup.simhash_signatures(base.unionAll(planted), words=p["words"]).cache()
+
+    # bucket boundedness: per band (= per signature word), the largest
+    # bucket. 64-bit keys over 10^6 random docs -> collisions only from
+    # planted dups (500) plus hash coincidences.
+    maxes = []
+    for w in range(p["words"]):
+        top = (
+            sigs.groupBy(F.element_at("simhash", w + 1).alias("bk"))
+            .count().agg(F.max("count")).collect()[0][0]
+        )
+        maxes.append(top)
+    assert max(maxes) <= 64, f"hot band bucket: {maxes}"
+
+    pairs = dedup.simhash_candidate_pairs(sigs, max_hamming=0, words=p["words"])
+    found = {(r["a"], r["b"]) for r in pairs.filter(F.col("b") >= 10_000_000).collect()}
+    expected = {(i, i + 10_000_000) for i in range(500)}
+    assert expected <= found
+    sigs.unpersist()
+
+
+def _synth_vecs(spark, n):
+    coords = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2_000_001)) - 1_000_000)
+            / 1_000_000.0
+        ).cast("float"),
+    )
+    return spark.range(n).select(F.col("id").alias("vec_id"), coords.alias("embedding"))
+
+
+def test_lsh_ann_at_1m_vectors(spark):
+    """ann_params-sized signatures at 10^6 vectors: bucket sizes stay
+    within a small factor of the target, and an end-to-end bucketed
+    query recovers a planted near-duplicate."""
+    params = similarity.ann_params(N_VECS, target_bucket=256)
+    assert params["nbits"] == 12
+    base = _synth_vecs(spark, N_VECS)
+    sigs = similarity.rp_signatures(base, DIM, params["nbits"])
+    stats = sigs.groupBy("bucket").count().agg(
+        F.max("count").alias("mx"), F.count("*").alias("nb")
+    ).collect()[0]
+    # random projections on iid coords: buckets are uneven but must
+    # stay O(target), not O(corpus) — the linear-join property
+    assert stats["mx"] <= 40 * 256, f"hot bucket {stats['mx']} of {stats['nb']}"
+
+    # plant a near-dup of vector 7 and query for it, bucketed path only
+    row = base.filter(F.col("vec_id") == 7).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    near = [float(x + 0.003 * ((i % 3) - 1)) for i, x in enumerate(q)]
+    corpus = base.unionAll(
+        spark.createDataFrame([(5_000_000, near)], "vec_id long, embedding array<float>")
+    )
+    got = [
+        r["vec_id"]
+        for r in similarity.lsh_bucketed_topk(
+            corpus, q, k=2, nbits=params["nbits"], tables=params["tables"]
+        ).collect()
+    ]
+    assert got[0] == 7 and 5_000_000 in got, got
