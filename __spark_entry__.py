@@ -381,6 +381,36 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_duplicates end-to-end on a self-union (every text appears
+    >= 2x): groups keyed by dual-hash, bounded sample_ids exploded to
+    scalar rows so the oracle can reproduce (member id, group size)
+    from the text values directly."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    both = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    groups = dedup.exact_duplicates(both, "text", max_ids=10_000)
+    return groups.select(
+        F.explode("sample_ids").alias("sid"),
+        F.col("copies").cast("long").alias("copies"),
+    )
+
+
+_DUP_GROUPS_ORACLE = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+g AS (
+  SELECT text, COUNT(*) AS copies FROM u GROUP BY text HAVING COUNT(*) > 1
+)
+SELECT b.doc_id AS sid, CAST(g.copies AS BIGINT) AS copies
+FROM u b JOIN g USING (text)
+"""
+
+
 def _compression_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _read(spark, sf_dir, "lineitem")
     enc = engine.encode_dataframe(
@@ -480,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_pruned_key_source": _zone_pruned_key_range,
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
+        "dup_groups_documents": _dup_groups,
         "minhash_dedup_documents": _minhash_dedup,
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
@@ -520,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_join_decoded": _Q3_ORACLE,
         "zone_pruned_range_price": _ZONE_ORACLE,
         "zone_pruned_key_source": _ZONE_KEY_ORACLE,
+        "dup_groups_documents": _DUP_GROUPS_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"

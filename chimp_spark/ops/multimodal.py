@@ -128,13 +128,29 @@ def image_metadata(df: DataFrame) -> DataFrame:
 
     _ship.ensure(df.sparkSession)
 
+    _HEAD = 1 << 20  # headers live in the first segments; a JPEG
+    # metadata segment caps at 64 KiB, so 1 MiB bounds any realistic
+    # pre-SOF run — and bounds the per-row copy (a multi-GB video
+    # blob would otherwise be materialized whole just to read 24 bytes)
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             ids = b.column("media_id")
             payloads = b.column("payload")
+            bufs = payloads.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                payloads.offset : payloads.offset + len(payloads) + 1
+            ]
+            data = memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
+            valid = np.asarray(payloads.is_valid())
             mimes, ws, hs = [], [], []
             for i in range(b.num_rows):
-                parsed = parse_image_header(payloads[i].as_py() or b"")
+                if not valid[i]:
+                    parsed = None
+                else:
+                    lo = int(offs[i])
+                    hi = min(int(offs[i + 1]), lo + _HEAD)
+                    parsed = parse_image_header(bytes(data[lo:hi]))
                 if parsed is None:
                     mimes.append(None), ws.append(None), hs.append(None)
                 else:

@@ -102,6 +102,39 @@ def rp_signatures(
     return sel.mapInArrow(kernel, "id long, bucket long")
 
 
+def rp_signatures_multi(
+    df: DataFrame, dim: int, nbits: int, tables: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+) -> DataFrame:
+    """(t, id, bucket) for ALL hyperplane tables in ONE corpus pass —
+    a per-table rp_signatures loop costs ``tables`` full scans; here
+    each Arrow batch is projected against every table's planes before
+    moving on (the matmuls dominate; the scan amortizes)."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    planes_all = np.stack(
+        [_hyperplanes(dim, nbits, seed + 1009 * t) for t in range(tables)]
+    )
+    sel = df.select(id_col, vec_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        weights = 1 << np.arange(nbits, dtype=np.int64)
+        for b in batches:
+            ids = b.column(0)
+            mat = _dense_matrix(b.column(1), dim, b.num_rows)
+            for t in range(tables):
+                proj = mat @ planes_all[t].T
+                sig = ((proj > 0) @ weights).astype(np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(b.num_rows, t, dtype=np.int32)), ids,
+                     pa.array(sig)],
+                    names=["t", "id", "bucket"],
+                )
+
+    return sel.mapInArrow(kernel, "t int, id long, bucket long")
+
+
 def ann_params(n_vectors: int, target_bucket: int = 256, tables: int = 4) -> dict:
     """Corpus-size-aware ANN configuration: nbits so the expected
     bucket holds ~target_bucket vectors (n / 2^nbits), and several
@@ -123,22 +156,27 @@ def lsh_bucketed_topk(
     ``multiprobe`` flips) in each of ``tables`` independent hyperplane
     tables, union the candidates, rank exactly within them. Recall at
     a given corpus size is tuned with (nbits, tables) — see ann_params."""
+    from functools import reduce
+
     dim = len(query)
-    cand_ids = None
+    q = np.asarray(query, dtype=np.float32)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+    conds = []
     for t in range(tables):
-        tseed = seed + 1009 * t
-        planes = _hyperplanes(dim, nbits, tseed)
-        qsig = int(((np.asarray(query, dtype=np.float32) @ planes.T) > 0)
-                   @ (1 << np.arange(nbits, dtype=np.int64)))
+        planes = _hyperplanes(dim, nbits, seed + 1009 * t)
+        qsig = int(((q @ planes.T) > 0) @ weights)
         probes = {qsig}
         if multiprobe >= 1:
             probes |= {qsig ^ (1 << b) for b in range(nbits)}
-        sigs = rp_signatures(df, dim, nbits, id_col, vec_col, tseed)
-        ids_t = sigs.filter(F.col("bucket").isin(sorted(probes))).select(
-            F.col("id").alias(id_col)
-        )
-        cand_ids = ids_t if cand_ids is None else cand_ids.unionAll(ids_t)
-    cands = df.join(cand_ids.distinct(), id_col)  # AQE broadcasts the small side
+        conds.append((F.col("t") == t) & F.col("bucket").isin(sorted(probes)))
+    # ONE corpus pass computes every table's signatures (was one scan
+    # per table); for repeated queries use ops.ann_index instead
+    sigs = rp_signatures_multi(df, dim, nbits, tables, id_col, vec_col, seed)
+    cand_ids = (
+        sigs.filter(reduce(lambda a, b: a | b, conds))
+        .select(F.col("id").alias(id_col)).distinct()
+    )
+    cands = df.join(cand_ids, id_col)  # AQE broadcasts the small side
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
@@ -233,18 +271,21 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH bucket equi-join -> exact cosine
     verify (array ops). Bucket join bounds the candidate set; scale
-    recall/cost with (nbits, tables) — see ann_params."""
-    pairs = None
-    for t in range(tables):
-        sigs = rp_signatures(df, dim, nbits, id_col, vec_col, seed + 1009 * t)
-        p = (
-            sigs.alias("l")
-            .join(sigs.alias("r"),
-                  (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    recall/cost with (nbits, tables) — see ann_params. All tables'
+    signatures come from ONE corpus pass and one (t, bucket) self-join
+    (was one scan + join per table)."""
+    sigs = rp_signatures_multi(df, dim, nbits, tables, id_col, vec_col, seed)
+    pairs = (
+        sigs.alias("l")
+        .join(
+            sigs.alias("r"),
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    pairs = pairs.distinct()
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     j = (
         pairs.join(vecs.withColumnRenamed("id", "a").withColumnRenamed("v", "va"), "a")
