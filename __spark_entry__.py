@@ -381,6 +381,97 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed sampling: the oracle reproduces the
+    EXACT subset from the same expression — the reproducibility
+    property (same rows on any engine/layout/run) that rand()-based
+    samplers cannot give a training pipeline."""
+    from chimp_spark.ops import sample
+
+    df = _read(spark, sf_dir, "documents")
+    return sample.hash_sample(df, 0.25, ["doc_id"]).select("doc_id")
+
+
+def _hash_sample_oracle() -> str:
+    from chimp_spark.ops.sample import hash_threshold
+
+    return f"""
+SELECT doc_id FROM documents
+WHERE substr(md5('s1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 13)
+      < '{hash_threshold(0.25)}'
+"""
+
+
+def _split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train/valid/test assignment by consecutive hash intervals:
+    membership is a pure function of the key (append-stable, no
+    leakage across runs); oracle mirrors the CASE exactly."""
+    from chimp_spark.ops import sample
+
+    df = _read(spark, sf_dir, "documents")
+    out = sample.train_test_split(
+        df, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"]
+    )
+    return out.select("doc_id", "split")
+
+
+def _split_oracle() -> str:
+    from chimp_spark.ops.sample import hash_threshold
+
+    return f"""
+SELECT doc_id,
+  CASE WHEN substr(md5('split1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 13)
+            < '{hash_threshold(0.8)}' THEN 'train'
+       WHEN substr(md5('split1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 13)
+            < '{hash_threshold(0.9)}' THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum keep-rates (downsample the dominant language, keep
+    the rest whole) — the training-mix shaping op."""
+    from chimp_spark.ops import sample
+
+    df = _read(spark, sf_dir, "documents")
+    out = sample.stratified_hash_sample(
+        df, {"en": 0.2}, "lang", ["doc_id"], default_rate=1.0
+    )
+    return out.select("doc_id", "lang")
+
+
+def _stratified_sample_oracle() -> str:
+    from chimp_spark.ops.sample import hash_threshold
+
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('s1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 13)
+      < CASE WHEN lang = 'en' THEN '{hash_threshold(0.2)}'
+             ELSE '{hash_threshold(1.0)}' END
+"""
+
+
+def _bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate (words + ceil(len/4) subwords
+    per long word) — the token-budget accounting op."""
+    from chimp_spark.ops import text as T
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", T.bpe_token_count("text").cast("long").alias("bpe_tokens")
+    )
+
+
+_BPE_TOKENS_ORACLE = """
+SELECT doc_id,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+       w -> greatest(CAST(ceil(length(w) / 4.0) AS INT), 1))) AS BIGINT)
+       AS bpe_tokens
+FROM documents
+"""
+
+
 def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact_duplicates end-to-end on a self-union (every text appears
     >= 2x): groups keyed by dual-hash, bounded sample_ids exploded to
@@ -511,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact_documents": _dedup_exact,
         "dup_groups_documents": _dup_groups,
+        "hash_sample_documents": _hash_sample_q,
+        "split_assign_documents": _split_q,
+        "stratified_sample_documents": _stratified_sample_q,
+        "bpe_tokens_documents": _bpe_tokens_q,
         "minhash_dedup_documents": _minhash_dedup,
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
@@ -552,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
         "zone_pruned_range_price": _ZONE_ORACLE,
         "zone_pruned_key_source": _ZONE_KEY_ORACLE,
         "dup_groups_documents": _DUP_GROUPS_ORACLE,
+        "hash_sample_documents": _hash_sample_oracle(),
+        "split_assign_documents": _split_oracle(),
+        "stratified_sample_documents": _stratified_sample_oracle(),
+        "bpe_tokens_documents": _BPE_TOKENS_ORACLE,
         "dedup_exact_documents": (
             "SELECT COUNT(DISTINCT text) AS distinct_texts, "
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"

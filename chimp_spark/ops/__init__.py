@@ -1,1 +1,1 @@
-from . import ann_index, dedup, similarity, text  # noqa: F401
+from . import ann_index, dedup, sample, similarity, text  # noqa: F401

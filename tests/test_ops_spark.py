@@ -435,3 +435,50 @@ def test_persisted_ivf_index_recall(spark, embeddings, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         ann_index.ivf_index_topk(spark, root, [1.0, 2.0], k=2)
     df.unpersist()
+
+
+def test_hash_sample_deterministic_and_layout_free(spark, docs):
+    """Hash-keyed sampling must select the SAME rows across runs and
+    partition layouts (rand()-based samplers don't), at ~the requested
+    rate."""
+    from chimp_spark.ops import sample
+
+    a = {r["doc_id"] for r in sample.hash_sample(docs, 0.25, ["doc_id"]).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample.hash_sample(docs.repartition(7), 0.25, ["doc_id"]).select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.35 * n  # ~rate at n=500
+    with pytest.raises(ValueError, match="rate"):
+        sample.hash_sample(docs, 1.5, ["doc_id"])
+
+
+def test_train_test_split_stable_under_append(spark, docs):
+    """Split membership is a pure function of the key: appending new
+    rows must not move ANY existing row between splits."""
+    from chimp_spark.ops import sample
+
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    before = {r["doc_id"]: r["split"] for r in
+              sample.train_test_split(docs, w, ["doc_id"]).select("doc_id", "split").collect()}
+    grown = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 777_000))
+    after = {r["doc_id"]: r["split"] for r in
+             sample.train_test_split(grown, w, ["doc_id"]).select("doc_id", "split").collect()}
+    assert all(after[k] == v for k, v in before.items())
+    assert set(after.values()) == {"train", "valid", "test"}
+    frac_train = sum(1 for v in after.values() if v == "train") / len(after)
+    assert 0.7 <= frac_train <= 0.9
+
+
+def test_stratified_hash_sample(spark, docs):
+    from chimp_spark.ops import sample
+
+    out = sample.stratified_hash_sample(
+        docs, {"en": 0.2}, "lang", ["doc_id"], default_rate=1.0
+    )
+    got = out.groupBy("lang").count().collect()
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in got:
+        if r["lang"] == "en":
+            assert r["count"] < 0.5 * base["en"]
+        else:
+            assert r["count"] == base[r["lang"]]  # default keeps all
