@@ -335,6 +335,89 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def chargram_minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, num_hashes: int = 16,
+) -> DataFrame:
+    """Rolling-hash document fingerprints: Karp-Rabin hashes of every
+    k-byte window (ONE vectorized polynomial pass over the batch's
+    flat UTF-8 buffer — O(k) shifted adds, no per-doc Python), then a
+    bottom-sketch per doc (min over ``num_hashes`` independent
+    remixes). Character-level, so it fingerprints texts that word
+    tokenizers miss (no spaces, CJK, code) and survives reformatting
+    that preserves byte runs. Same sketch algebra as word MinHash:
+    P(lane equal) = k-gram resemblance; identical docs -> identical
+    fingerprint. -> (id, fp: array<bigint>)."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    seeds = _splitmix64(np.arange(501, 501 + num_hashes, dtype=np.uint64))
+    B = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    sel = df.select(id_col, text_col)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).cast(pa.binary())
+            n = b.num_rows
+            bufs = texts.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                texts.offset : texts.offset + n + 1
+            ].astype(np.int64)
+            flat = (
+                np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+                if bufs[2] is not None else np.zeros(0, np.uint8)
+            )
+            offs = offs - offs[0]
+            total = flat.size
+            # Karp-Rabin over the whole flat buffer: H[i] = sum_j
+            # flat[i+j] * B^(k-1-j) (mod 2^64), k shifted adds
+            nwin = max(total - k + 1, 0)
+            H = np.zeros(nwin, dtype=np.uint64)
+            for j in range(k):
+                H *= B
+                H += flat[j : j + nwin].astype(np.uint64)
+            H = _splitmix64(H)
+            lens = np.diff(offs)
+            sigs = np.zeros((n, num_hashes), dtype=np.uint64)
+            starts = offs[:-1]
+            counts = np.maximum(lens - k + 1, 0)
+            nz = np.flatnonzero(counts > 0)
+            if nz.size:
+                # windows crossing doc boundaries are INVALID: mask
+                # them to u64::MAX so a reduceat segment (which runs to
+                # the next doc's start) can never pick one as its min
+                marks = np.zeros(nwin + 1, dtype=np.int32)
+                np.add.at(marks, starts[nz], 1)
+                np.add.at(marks, starts[nz] + counts[nz], -1)
+                invalid = np.cumsum(marks[:-1]) <= 0
+                for lane in range(num_hashes):
+                    mixed = _splitmix64(H[:nwin] ^ seeds[lane])
+                    mixed[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                    sigs[nz, lane] = np.minimum.reduceat(mixed, starts[nz])
+            short = np.flatnonzero((counts == 0) & (lens > 0))
+            if short.size:
+                # docs shorter than k: deterministic whole-doc hash
+                # (polynomial over their bytes) remixed per lane
+                sh = np.zeros(short.size, dtype=np.uint64)
+                for d_i, d in enumerate(short):
+                    h = np.uint64(0)
+                    for byte in flat[offs[d] : offs[d + 1]]:
+                        h = h * B + np.uint64(byte)
+                    sh[d_i] = h
+                for lane in range(num_hashes):
+                    sigs[short, lane] = _splitmix64(sh ^ seeds[lane])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.FixedSizeListArray.from_arrays(
+                    pa.array((sigs >> np.uint64(1)).astype(np.int64).ravel()),
+                    num_hashes,
+                ).cast(pa.list_(pa.int64()))],
+                names=["id", "fp"],
+            )
+
+    return sel.mapInArrow(kernel, "id long, fp array<long>")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -244,17 +244,95 @@ def audio_frames(df: DataFrame, frame_ms: int = 250) -> DataFrame:
     )
 
 
+def _av_or_none():
+    """Feature-flagged real video decoder: PyAV when importable (not
+    in this container), else None -> callers fall back to the stub."""
+    try:
+        import av  # noqa: F401
+
+        return av
+    except Exception:
+        return None
+
+
+def _decode_video_frame_stub(payload: bytes, width: int, height: int,
+                             ts_ms: int) -> np.ndarray:
+    """STUB (no video libs in this container): deterministic fake
+    frame at timestamp ts_ms -> (height, width, 3) uint8 derived from
+    (payload bytes, ts). Replace with PyAV/ffmpeg seek+decode."""
+    if width <= 0 or height <= 0:
+        raise ValueError("video metadata missing")
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed) ^ (ts_ms * 2654435761 % (1 << 63)))
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Fixed-interval frame sampling over video payloads: ONE input
+    row explodes to one output row per sampled frame (media_id,
+    frame_idx, ts_ms, luma_mean, luma_std). The Spark-side plumbing —
+    per-frame row explosion inside mapInArrow, bounded output batches,
+    deterministic frame timestamps independent of partitioning — is
+    real and tested; the pixel decode is the documented stub (PyAV
+    gate in _av_or_none; this container ships no media libs)."""
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            out_id, out_idx, out_ts, out_mean, out_std = [], [], [], [], []
+            ids = b.column("media_id")
+            payloads = b.column("payload")
+            ws = b.column("width")
+            hs = b.column("height")
+            durs = b.column("duration_ms")
+            for i in range(b.num_rows):
+                dur = durs[i].as_py() or 0
+                n_frames = max(dur // every_ms, 1)
+                payload = payloads[i].as_py() or b""
+                w = ws[i].as_py() or 0
+                h = hs[i].as_py() or 0
+                for fi in range(n_frames):
+                    ts = fi * every_ms
+                    frame = _decode_video_frame_stub(payload, w, h, ts)
+                    # ITU-R BT.601 luma — the real feature math the
+                    # stubbed decode feeds into
+                    luma = (0.299 * frame[:, :, 0] + 0.587 * frame[:, :, 1]
+                            + 0.114 * frame[:, :, 2])
+                    out_id.append(ids[i].as_py())
+                    out_idx.append(fi)
+                    out_ts.append(ts)
+                    out_mean.append(float(luma.mean()))
+                    out_std.append(float(luma.std()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, pa.int64()), pa.array(out_idx, pa.int32()),
+                 pa.array(out_ts, pa.int32()), pa.array(out_mean, pa.float64()),
+                 pa.array(out_std, pa.float64())],
+                names=["media_id", "frame_idx", "ts_ms", "luma_mean", "luma_std"],
+            )
+
+    return df.select("media_id", "payload", "width", "height", "duration_ms").mapInArrow(
+        kernel, "media_id long, frame_idx int, ts_ms int, luma_mean double, luma_std double"
+    )
+
+
 def synthetic_media_df(spark, n: int = 200, seed: int = 5) -> DataFrame:
     """Deterministic media table for the plumbing tests."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        kind = "image" if i % 2 == 0 else "audio"
+        kind = ("image", "audio", "video")[i % 3]
         payload = rng.bytes(64)
         if kind == "image":
             rows.append((i, kind, payload, "image/fake", 32 + int(rng.integers(0, 32)),
                          24 + int(rng.integers(0, 24)), 0, 0))
-        else:
+        elif kind == "audio":
             rows.append((i, kind, payload, "audio/fake", 0, 0, 16_000,
                          500 + int(rng.integers(0, 1500))))
+        else:
+            rows.append((i, kind, payload, "video/fake", 64, 48, 0,
+                         1000 + int(rng.integers(0, 5000))))
     return spark.createDataFrame(rows, MEDIA_DDL)

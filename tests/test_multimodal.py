@@ -120,3 +120,31 @@ def test_jpeg_header_with_fill_bytes():
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
     jpg = b"\xff\xd8" + b"\xff" + app0 + b"\xff\xff" + sof + b"\xff\xd9"
     assert M.parse_image_header(jpg) == ("image/jpeg", 320, 240)
+
+
+def test_video_frame_sample_plumbing(spark, media):
+    """One input row explodes to duration_ms // every_ms frame rows
+    with deterministic timestamps and per-frame luma features; the
+    explosion is independent of partition layout."""
+    vids = media.filter(F.col("kind") == "video")
+    out = M.video_frame_sample(vids, every_ms=500)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: r["duration_ms"] for r in vids.collect()}
+    assert set(per) == set(src)
+    for mid, frames in per.items():
+        assert len(frames) == max(src[mid] // 500, 1)
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(frames)))
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 500
+            assert 0.0 <= f["luma_mean"] <= 255.0
+    # layout independence
+    again = {(r["media_id"], r["frame_idx"]): r["luma_mean"]
+             for r in M.video_frame_sample(vids.repartition(7), every_ms=500).collect()}
+    first = {(r["media_id"], r["frame_idx"]): r["luma_mean"] for r in rows}
+    assert first == again
+    with pytest.raises(ValueError, match="every_ms"):
+        M.video_frame_sample(vids, every_ms=0)

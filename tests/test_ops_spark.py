@@ -482,3 +482,35 @@ def test_stratified_hash_sample(spark, docs):
             assert r["count"] < 0.5 * base["en"]
         else:
             assert r["count"] == base[r["lang"]]  # default keeps all
+
+
+def test_chargram_rolling_fingerprints(spark, docs):
+    """Rolling-hash (Karp-Rabin k-gram) fingerprints: identical docs
+    -> identical sketch regardless of layout; a 1-char edit preserves
+    most lanes (k-gram resemblance); disjoint texts share ~none; short
+    and empty docs are handled deterministically."""
+    from chimp_spark.ops import dedup as D
+
+    a = {r["id"]: tuple(r["fp"]) for r in
+         D.chargram_minhash_signatures(docs).collect()}
+    b = {r["id"]: tuple(r["fp"]) for r in
+         D.chargram_minhash_signatures(docs.repartition(5)).collect()}
+    assert a == b  # deterministic, layout-free
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river banks"),
+        (3, "completely different content with no shared substrings here at all"),
+        (4, "tiny"),
+        (5, ""),
+        (6, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["id"]: list(r["fp"]) for r in
+          D.chargram_minhash_signatures(df, num_hashes=16).collect()}
+    same12 = sum(1 for x, y in zip(fp[1], fp[2]) if x == y)
+    same13 = sum(1 for x, y in zip(fp[1], fp[3]) if x == y)
+    assert same12 >= 12, f"near-dup lanes {same12}/16"
+    assert same13 <= 2, f"disjoint lanes {same13}/16"
+    assert fp[4] == fp[6]  # short docs: deterministic whole-doc hash
+    assert fp[5] == [0] * 16  # empty doc -> zero sketch
