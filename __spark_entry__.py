@@ -381,6 +381,41 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus dedup: LSH pairs -> exact-Jaccard verify ->
+    connected components (iterative min-label propagation) -> keep the
+    min-id doc per duplicate cluster. Deterministic, so the oracle
+    reproduces the surviving id set exactly: brute-force Jaccard pairs
+    + a recursive-CTE transitive closure in DuckDB."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(df, threshold=0.9).select("doc_id")
+
+
+_MINHASH_DEDUP_KEEP_ORACLE = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (SELECT doc_id,
+   list_distinct([array_to_string(words[i:i+2], ' ')
+                  for i in range(1, greatest(len(words)-2, 1)+1)]) AS s
+ FROM w),
+p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+            / greatest(len(list_distinct(l.s || r.s)), 1) >= 0.9),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(id, r) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT rc.id, e.b FROM reach rc JOIN e ON rc.r = e.a
+),
+comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+"""
+
+
 def _hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed sampling: the oracle reproduces the
     EXACT subset from the same expression — the reproducibility
@@ -607,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _stratified_sample_q,
         "bpe_tokens_documents": _bpe_tokens_q,
         "minhash_dedup_documents": _minhash_dedup,
+        "minhash_dedup_keep_documents": _minhash_dedup_keep_q,
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
         # rows-only (no SQL equivalent)
@@ -656,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) - COUNT(DISTINCT text) AS duplicate_rows FROM documents"
         ),
         "minhash_dedup_documents": _MINHASH_ORACLE,
+        "minhash_dedup_keep_documents": _MINHASH_DEDUP_KEEP_ORACLE,
         "text_stats_documents": _TEXT_STATS_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         "lang_id_documents": _lang_id_oracle(),

@@ -335,6 +335,78 @@ def ngram_jaccard_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) for every id in ``pairs``; comp = min id reachable.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels — one groupBy
+    shuffle per round, converging in O(graph diameter) rounds. Dup
+    clusters from LSH candidate pairs are near-cliques (diameter 2-3),
+    so 3-4 rounds in practice; ``max_iter`` bounds pathological chains.
+    Labels are localCheckpoint'ed every round: iterative Spark plans
+    otherwise grow lineage exponentially and re-execute prior rounds.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.select("id", "comp").unionAll(msgs)
+            .groupBy("id").agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a_col: str = "a", b_col: str = "b",
+) -> DataFrame:
+    """Resolve duplicate PAIRS into clusters and keep one canonical
+    row per cluster (the min id) — the step that turns near-dup
+    detection into an actually deduplicated corpus. Rows in no pair
+    are kept untouched (left-anti semantics, no full-corpus shuffle
+    beyond the join on the id)."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.9, num_hashes: int = 64, bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup corpus dedup: shingle -> MinHash -> banded
+    LSH -> exact-Jaccard verify -> connected components -> keep the
+    min-id document of every duplicate cluster. Deterministic (hash
+    seeds fixed, canonical = min id), so the result is reproducible
+    and oracle-checkable."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, num_hashes, bands)
+    return dedup_keep_canonical(df, pairs, id_col)
+
+
 def chargram_minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, num_hashes: int = 16,

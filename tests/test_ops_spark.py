@@ -514,3 +514,44 @@ def test_chargram_rolling_fingerprints(spark, docs):
     assert same13 <= 2, f"disjoint lanes {same13}/16"
     assert fp[4] == fp[6]  # short docs: deterministic whole-doc hash
     assert fp[5] == [0] * 16  # empty doc -> zero sketch
+
+
+def test_connected_components_and_canonical(spark):
+    """Min-label propagation over pair edges: chains collapse to one
+    component keyed by the min id; keep-canonical drops exactly the
+    non-min members and leaves unpaired rows alone."""
+    from chimp_spark.ops import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    comp = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    df = spark.range(30).select(F.col("id").alias("doc_id"),
+                                F.lit("x").alias("text"))
+    kept = {r["doc_id"] for r in D.dedup_keep_canonical(df, pairs).collect()}
+    assert kept == set(range(30)) - {2, 3, 4, 11, 21, 22}
+
+
+def test_minhash_dedup_end_to_end(spark, docs):
+    """Corpus-level dedup: after minhash_dedup no two surviving docs
+    are near-dups (by brute-force Jaccard), every dropped doc has a
+    surviving near-dup witness with a smaller cluster id, and the op
+    is deterministic."""
+    from chimp_spark.ops import dedup as D
+
+    out1 = {r["doc_id"] for r in D.minhash_dedup(docs).select("doc_id").collect()}
+    out2 = {r["doc_id"] for r in
+            D.minhash_dedup(docs.repartition(9)).select("doc_id").collect()}
+    assert out1 == out2
+    truth_pairs = {(r["a"], r["b"]) for r in
+                   D.ngram_jaccard_pairs(docs, threshold=0.9, use_lsh=False).collect()}
+    assert len(truth_pairs) > 0
+    # no surviving pair is a near-dup of each other
+    for a, b in truth_pairs:
+        assert not (a in out1 and b in out1), (a, b)
+    # dropped docs are exactly the non-min members of pair components
+    dropped = {r["doc_id"] for r in docs.select("doc_id").collect()} - out1
+    nodes = {x for p in truth_pairs for x in p}
+    assert dropped <= nodes
