@@ -111,3 +111,31 @@ def test_lsh_ann_at_1m_vectors(spark):
         ).collect()
     ]
     assert got[0] == 7 and 5_000_000 in got, got
+
+
+def test_persisted_lsh_index_at_1m(spark, tmp_path):
+    """Build the persisted LSH index over 10^6 vectors and query it:
+    the build is one corpus pass + one partitioned write; the query
+    touches only probed partitions and recovers a planted near-dup.
+    This is the 100 TB serving shape at sandbox scale."""
+    from chimp_spark.ops import ann_index
+
+    params = similarity.ann_params(N_VECS, target_bucket=256)
+    base = _synth_vecs(spark, N_VECS)
+    row = base.filter(F.col("vec_id") == 7).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    near = [float(x + 0.003 * ((i % 3) - 1)) for i, x in enumerate(q)]
+    corpus = base.unionAll(
+        spark.createDataFrame([(5_000_000, near)], "vec_id long, embedding array<float>")
+    )
+    root = str(tmp_path / "lsh1m")
+    ann_index.build_lsh_index(
+        corpus, root, dim=DIM, nbits=params["nbits"], tables=2
+    )
+    import time
+
+    t0 = time.perf_counter()
+    got = [r["vec_id"] for r in ann_index.lsh_index_topk(spark, root, q, k=2).collect()]
+    dt = time.perf_counter() - t0
+    assert got[0] == 7 and 5_000_000 in got, got
+    assert dt < 30, f"pruned query took {dt:.1f}s"
