@@ -134,3 +134,19 @@ def test_ann_index_query_scans_only_probed_partitions(spark, tmp_path):
     import glob as _glob
     n_dirs = len(_glob.glob(str(tmp_path / "ivf" / "index" / "list_id=*")))
     assert n_dirs > 2  # corpus spread over >nprobe lists
+
+
+def test_exact_duplicates_single_exchange_no_text(spark):
+    """exact_duplicates: ONE shuffle (the window's hash partitioning is
+    reused by the groupBy on a superset key), rank<=K folded into a
+    WindowGroupLimit (bounded sort), and the shuffle never carries the
+    document text — only hashes + ids."""
+    from chimp_spark.ops import dedup
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.exact_duplicates(df.unionAll(df), "text")
+    plan = _formatted(out)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan
+    m = re.search(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m and "text" not in m.group(1), m.group(1) if m else plan
