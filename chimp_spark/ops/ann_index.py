@@ -50,6 +50,8 @@ from .similarity import (
 )
 
 _MANIFEST = "ann_index.json"
+FORMAT_VERSION = 1  # bump when the index layout changes; loaders refuse
+# newer formats instead of misreading them
 
 
 def _write_manifest(root: str, meta: dict) -> None:
@@ -62,7 +64,13 @@ def _write_manifest(root: str, meta: dict) -> None:
 
 def load_manifest(root: str) -> dict:
     with open(os.path.join(root, _MANIFEST)) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if meta.get("format", 1) > FORMAT_VERSION:
+        raise ValueError(
+            f"index at {root} has format {meta['format']} > supported "
+            f"{FORMAT_VERSION}; rebuild or upgrade"
+        )
+    return meta
 
 
 def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
@@ -121,6 +129,7 @@ def build_lsh_index(
         .parquet(os.path.join(root, "index"))
     )
     meta = {
+        "format": FORMAT_VERSION,
         "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
         "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
     }
@@ -213,6 +222,7 @@ def build_ivf_index(
     os.makedirs(root, exist_ok=True)
     np.save(os.path.join(root, "centroids.npy"), cent)
     meta = {
+        "format": FORMAT_VERSION,
         "kind": "ivf", "dim": dim, "n_centroids": int(cent.shape[0]),
         "seed": seed, "id_col": id_col, "vec_col": vec_col,
     }
