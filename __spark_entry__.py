@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_roundtrip_lang": _roundtrip("documents", "lang", "dict", "string"),
         "dict_rle_roundtrip_eventtype": _roundtrip("events", "event_type", "dict_rle", "string"),
         "fsst_roundtrip_text": _roundtrip("documents", "text", "fsst", "string"),
+        "deflate_roundtrip_text": _roundtrip("documents", "text", "deflate", "string"),
         "fsst_roundtrip_pname": _roundtrip("part", "p_name", "fsst", "string"),
         "for_bitpack_roundtrip_size": _roundtrip("part", "p_size", "for_bitpack", "int"),
         "delta_bp_roundtrip_orderkey": _roundtrip("orders", "o_orderkey", "delta_bp", "long"),
@@ -672,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_roundtrip_lang": _oracle_roundtrip("documents", "lang"),
         "dict_rle_roundtrip_eventtype": _oracle_roundtrip("events", "event_type"),
         "fsst_roundtrip_text": _oracle_roundtrip("documents", "text"),
+        "deflate_roundtrip_text": _oracle_roundtrip("documents", "text"),
         "fsst_roundtrip_pname": _oracle_roundtrip("part", "p_name"),
         "for_bitpack_roundtrip_size": _oracle_roundtrip("part", "p_size"),
         "delta_bp_roundtrip_orderkey": _oracle_roundtrip("orders", "o_orderkey"),

@@ -17,6 +17,7 @@ objects are ever created.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -528,6 +529,35 @@ def str_plain_decode(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
     return offsets, data
 
 
+def str_deflate_encode(offsets: np.ndarray, data: np.ndarray, level: int = 6) -> bytes:
+    """General-purpose entropy codec for string/binary blocks:
+    lengths FOR-bitpacked + one DEFLATE stream over the concatenated
+    bytes (stdlib zlib — no external deps). The ratio option for
+    MARKUP-heavy payloads (html, json): repeated tags/attributes
+    exceed what a 255-symbol FSST table can capture. Decode is a
+    single zlib.decompress (~300 MB/s/core) vs FSST's ~2 GB/s — the
+    selector's speed rank prices that in, so deflate only wins when
+    its ratio advantage is real."""
+    lens = np.diff(offsets.astype(np.int64))
+    lens_blob = for_bitpack_encode(lens) if lens.size else b""
+    comp = zlib.compress(np.ascontiguousarray(data).tobytes(), level)
+    return (
+        struct.pack("<III", lens.size, len(lens_blob), len(comp))
+        + lens_blob + comp
+    )
+
+
+def str_deflate_decode(buf: memoryview, n: int) -> tuple[np.ndarray, np.ndarray]:
+    n_str, lens_sz, comp_sz = struct.unpack_from("<III", buf, 0)
+    offsets = np.zeros(n_str + 1, dtype=np.int64)
+    if n_str:
+        lens = for_bitpack_decode(buf[12 : 12 + lens_sz], n_str, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+    raw = zlib.decompress(bytes(buf[12 + lens_sz : 12 + lens_sz + comp_sz]))
+    data = np.frombuffer(raw, dtype=np.uint8, count=int(offsets[-1]))
+    return offsets, data
+
+
 def str_const_encode(offsets: np.ndarray, data: np.ndarray) -> bytes:
     ln = int(offsets[1] - offsets[0])
     return struct.pack("<I", ln) + bytes(data[int(offsets[0]) : int(offsets[0]) + ln])
@@ -606,5 +636,6 @@ CODEC_IDS = {
     "gcd_for": 18,
     "bss": 19,
     "list_block": 20,
+    "deflate": 21,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}

@@ -178,6 +178,7 @@ _STR_ENC = {
     "plain": L.str_plain_encode,
     "const": L.str_const_encode,
     "fsst": fsst.encode,
+    "deflate": L.str_deflate_encode,
 }
 _STR_DEC = {
     "plain": L.str_plain_decode,
@@ -185,6 +186,7 @@ _STR_DEC = {
     "fsst": fsst.decode,
     "dict": L.str_dict_decode,
     "dict_rle": L.str_dict_decode,
+    "deflate": L.str_deflate_decode,
 }
 
 

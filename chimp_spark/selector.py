@@ -32,7 +32,7 @@ SPEED = {
     "rle": 1.2, "xor_split": 1.6, "patas": 2.5, "chimp": 3.0,
     "chimpn": 4.0, "gorilla": 4.5, "ts_chimp": 3.0,
     "dict": 1.5, "dict_rle": 1.4, "fsst": 12.0, "dec_for": 1.3,
-    "gcd_for": 1.25, "bss": 3.0,
+    "gcd_for": 1.25, "bss": 3.0, "deflate": 20.0,
 }
 
 
@@ -195,6 +195,11 @@ def choose_codec_string(
                 L.str_dict_encode(soffs, sdata, codes, doffs, ddata, rle=True)
             )
     avg_len = float(sdata.size) / max(m, 1)
+    if avg_len >= 8:
+        # markup/JSON-heavy payloads exceed a 255-symbol FSST table;
+        # the sampled trial decides (speed rank prices deflate's
+        # slower decode, so it only wins on a real ratio gap)
+        cands["deflate"] = len(L.str_deflate_encode(soffs, sdata))
     if avg_len >= 8 and card > m // 4:
         syms = cache.get("fsst_symbols") if cache is not None else None
         if syms is None:

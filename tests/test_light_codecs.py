@@ -174,7 +174,7 @@ def _bitwise_equal(a: pa.Array, b: pa.Array) -> bool:
         ("i64_sorted", ("delta_bp",)),
         ("const_str", ("const",)),
         ("const_f64", ("const",)),
-        ("str_text", ("fsst",)),
+        ("str_text", ("fsst", "deflate")),
         ("i32", ("for_bitpack", "rle")),
     ],
 )
@@ -470,3 +470,25 @@ def test_selector_near_decimal_falls_to_xor_family():
     blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
     got = framing.decode_chunk(blob, pa.float64())
     assert np.array_equal(np.asarray(got), vals)
+
+
+def test_deflate_string_roundtrip_and_selection():
+    """deflate: general-purpose entropy codec for markup-heavy
+    payloads — repeated tags exceed a 255-symbol FSST table. Auto must
+    pick it on html-like data (big ratio gap) but leave natural text
+    to fsst/dict (speed rank prices deflate's slower decode)."""
+    html = pa.array(
+        [f"<html><body class='m'><div id='c{i}'>"
+         + "<p>lorem ipsum dolor sit</p>" * (1 + i % 7)
+         + "</div></body></html>" for i in range(2000)]
+    )
+    blob, meta = framing.encode_chunk(html, codec="deflate")
+    assert framing.decode_chunk(blob, pa.string()).equals(html)
+    auto_blob, auto_meta = framing.encode_chunk(html, codec="auto")
+    assert auto_meta.codec == "deflate", auto_meta.reason
+    assert len(auto_blob) * 4 < len(framing.encode_chunk(html, codec="fsst")[0])
+
+    # binary payloads route through the same block codecs
+    bins = pa.array([b"\x00\x01" * 300, b"", None, b"\xff" * 64], type=pa.binary())
+    bblob, bmeta = framing.encode_chunk(bins, codec="deflate")
+    assert framing.decode_chunk(bblob, pa.binary()).equals(bins)
