@@ -14,7 +14,7 @@ rows-only check — BY DESIGN, not correctness debt (r2 judge note):
 ``ivf_ann_topk_embeddings`` (approximate/signature algorithms),
 ``compression_summary_lineitem`` (engine-internal metrics), and
 ``pages_pipeline_invariant`` (self-checking invariant, mismatches
-must be 0). Everything else — 35 of 40 queries — is oracle-checked,
+must be 0). Everything else — 36 of 41 queries — is oracle-checked,
 including the end-to-end near-dup corpus dedup (recursive-CTE
 transitive closure) and the deterministic sampling/split subsets.
 """
