@@ -10,11 +10,12 @@ run a TPC-H-style query over *decoded* columns vs raw SQL.
 
 Non-SQL-expressible entries have no oracle and get the driver's
 rows-only check — BY DESIGN, not correctness debt (r2 judge note):
-``simhash_dups_documents``, ``lsh_ann_topk_embeddings``,
+``simhash_dups_documents``, ``chargram_fp_documents``,
+``lsh_ann_topk_embeddings``,
 ``ivf_ann_topk_embeddings`` (approximate/signature algorithms),
 ``compression_summary_lineitem`` (engine-internal metrics), and
 ``pages_pipeline_invariant`` (self-checking invariant, mismatches
-must be 0). Everything else — 36 of 41 queries — is oracle-checked,
+must be 0). Everything else — 36 of 42 queries — is oracle-checked,
 including the end-to-end near-dup corpus dedup (recursive-CTE
 transitive closure) and the deterministic sampling/split subsets.
 """
@@ -222,6 +223,17 @@ FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
 LIMIT 5
 """
+
+
+def _chargram_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Karp-Rabin k-gram) fingerprints, exploded to one
+    deterministic row per (doc, lane) — rows-only: the sketch algebra
+    is not SQL-expressible, determinism is pinned in pytest."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents")
+    fp = dedup.chargram_minhash_signatures(df, num_hashes=8)
+    return fp.select("id", F.posexplode("fp").alias("lane", "h"))
 
 
 def _simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_q,
         # rows-only (no SQL equivalent)
         "simhash_dups_documents": _simhash_dups,
+        "chargram_fp_documents": _chargram_fp_q,
         "lsh_ann_topk_embeddings": _lsh_ann_q,
         "ivf_ann_topk_embeddings": _ivf_ann_q,
         "lang_id_documents": _lang_id_q,
