@@ -28,10 +28,15 @@ _HEXW = 13  # 52 bits: exact in a double, engine-portable
 
 
 def hash_threshold(rate: float) -> str:
-    """Fixed-width lowercase-hex threshold for a keep-rate in [0, 1]."""
+    """Fixed-width lowercase-hex threshold for a keep-rate in [0, 1].
+    rate >= 1.0 returns "g" — lexicographically above every hex draw —
+    so "keep everything" really keeps the (16^-13-probability) all-'f'
+    draw too instead of silently dropping it at 10^10-row scale."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(int(rate * (16 ** _HEXW)), 16 ** _HEXW - 1), f"0{_HEXW}x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * (16 ** _HEXW)), f"0{_HEXW}x")
 
 
 def hash_draw(cols: list[str], seed: str = "s1") -> Column:
