@@ -198,8 +198,11 @@ def choose_codec_string(
     if avg_len >= 8:
         # markup/JSON-heavy payloads exceed a 255-symbol FSST table;
         # the sampled trial decides (speed rank prices deflate's
-        # slower decode, so it only wins on a real ratio gap)
-        cands["deflate"] = len(L.str_deflate_encode(soffs, sdata))
+        # slower decode, so it only wins on a real ratio gap). The
+        # TRIAL runs level 1 (~3x cheaper than the level-6 payload
+        # encode, ~10-20% larger) — a conservative estimate that only
+        # under-sells deflate, never over-sells it
+        cands["deflate"] = len(L.str_deflate_encode(soffs, sdata, level=1))
     if avg_len >= 8 and card > m // 4:
         syms = cache.get("fsst_symbols") if cache is not None else None
         if syms is None:
