@@ -32,3 +32,29 @@ def test_per_column_codec_unknown_name():
     r = _run(["--codec", "price=dec_fr"])
     assert r.returncode != 0
     assert "unknown codec" in r.stderr and "price" in r.stderr
+
+
+def test_cli_scan_resume_refuses_changed_input(tmp_path):
+    """End-to-end CLI: a second run over a CHANGED input directory must
+    refuse to resume (positional unit ids no longer identify the same
+    row groups) instead of silently skipping data. Two real
+    interpreter runs, same as spark-submit would execute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pa.table({"k": list(range(1000)), "v": [float(i) / 7 for i in range(1000)]})
+    pq.write_table(t, src / "part-0.parquet")
+    out = str(tmp_path / "enc")
+    args = [sys.executable, JOB, "--input", str(src), "--output", out,
+            "--table", "t"]
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(args, capture_output=True, text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert '"partitions": 1' in r1.stdout
+
+    pq.write_table(t.slice(0, 100), src / "part-1.parquet")  # new crawl file
+    r2 = subprocess.run(args, capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode != 0
+    assert "scan resume refused" in (r2.stderr + r2.stdout)
