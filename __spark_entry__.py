@@ -248,9 +248,22 @@ def _simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_root(sf_dir: str, kind: str, tag: str) -> str:
+    """Cache root for a persisted ANN index over ``sf_dir``'s
+    embeddings. The key includes a CONTENT fingerprint of the
+    embeddings files (path, size, mtime_ns — the same stat identity
+    engine/scan.py's units_fingerprint protects resume with): if the
+    dataset at the same path is regenerated, the root changes and the
+    index rebuilds instead of silently serving stale results."""
+    import glob
     import hashlib
 
-    h = hashlib.sha256(f"{sf_dir}:{kind}:{tag}".encode()).hexdigest()[:10]
+    src = f"{sf_dir}/embeddings.parquet"
+    files = sorted(glob.glob(f"{src}/*.parquet")) if os.path.isdir(src) else [src]
+    fp = hashlib.sha256(f"{sf_dir}:{kind}:{tag}".encode())
+    for p in files:
+        st = os.stat(p)
+        fp.update(f"{p}\x00{st.st_size}\x00{st.st_mtime_ns}\x1e".encode())
+    h = fp.hexdigest()[:10]
     return f"/tmp/chimp_spark_ann_{os.path.basename(sf_dir.rstrip('/'))}_{kind}_{h}"
 
 

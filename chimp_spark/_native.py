@@ -419,7 +419,12 @@ long fsst_decoded_size(const uint8_t* codes, long m, const int32_t* sym_len) {
     long op = 0;
     for (long p = 0; p < m; ) {
         uint8_t c = codes[p];
-        if (c == 255) { op += 1; p += 2; }
+        if (c == 255) {
+            /* corrupt payload: a trailing escape with no literal byte
+               would read codes[m] out of bounds */
+            if (p + 1 >= m) return -1;
+            op += 1; p += 2;
+        }
         else { op += sym_len[c]; p += 1; }
     }
     return op;
@@ -442,7 +447,10 @@ long fsst_decode_block(
         while (p < e) {
             uint8_t c = codes[p];
             if (op + 8 > out_cap) return -1;
-            if (c == 255) { out[op++] = codes[p + 1]; p += 2; }
+            if (c == 255) {
+                if (p + 1 >= e) return -1;  /* truncated escape */
+                out[op++] = codes[p + 1]; p += 2;
+            }
             else {
                 memcpy(out + op, table + ((long)c << 3), 8);
                 op += sym_len[c];

@@ -348,14 +348,17 @@ def decode(buf: memoryview, n_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
         sym_len32 = sym_len.astype(np.int32)
         codes_c = np.ascontiguousarray(codes)
         total = int(nat["fsst_decoded_size"](codes_c, m, sym_len32)) if m else 0
-        out = np.empty(total + 8, dtype=np.uint8)
-        byte_ends = np.zeros(n + 1, dtype=np.int64)
-        got = nat["fsst_decode_block"](
-            codes_c, code_off, n, np.ascontiguousarray(table.ravel()),
-            sym_len32, out, total + 8, byte_ends[1:],
-        )
-        if got == total:
-            return byte_ends, out[:total]
+        if total >= 0:  # -1 = truncated escape detected by the sizing
+            # walk — fall straight to the numpy reference path (a -1
+            # from BOTH passes must not compare as success)
+            out = np.empty(total + 8, dtype=np.uint8)
+            byte_ends = np.zeros(n + 1, dtype=np.int64)
+            got = nat["fsst_decode_block"](
+                codes_c, code_off, n, np.ascontiguousarray(table.ravel()),
+                sym_len32, out, total + 8, byte_ends[1:],
+            )
+            if got == total:
+                return byte_ends, out[:total]
         # inconsistent sizing (corrupt payload): numpy reference decides
 
     # resolve escapes: within each maximal run of 0xFF bytes, even

@@ -340,13 +340,19 @@ def connected_components(
 ) -> DataFrame:
     """(id, comp) for every id in ``pairs``; comp = min id reachable.
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels — one groupBy
-    shuffle per round, converging in O(graph diameter) rounds. Dup
-    clusters from LSH candidate pairs are near-cliques (diameter 2-3),
-    so 3-4 rounds in practice; ``max_iter`` bounds pathological chains.
+    Iterative min-label propagation WITH pointer jumping: each round a
+    vertex takes the min over (its own label, its neighbors' labels,
+    its label's label). The neighbor messages guarantee the true
+    component min is eventually found; the label self-join halves
+    label-path lengths every round, so convergence is O(log diameter)
+    rounds — a 10^7-long chain of templated crawl boilerplate converges
+    in ~24 rounds, where plain one-hop propagation would need 10^7.
     Labels are localCheckpoint'ed every round: iterative Spark plans
     otherwise grow lineage exponentially and re-execute prior rounds.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass while labels
+    are still changing — returning partially-merged labels would make
+    downstream dedup silently keep rows it should drop.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -359,12 +365,21 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("comp")
         )
+        # pointer jumping: comp values are vertex ids of the same
+        # component (labels only ever shrink toward the component min),
+        # so comp-of-comp is a valid, usually-smaller candidate label
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.id"))
+            .select(F.col("l1.id").alias("id"), F.col("l2.comp").alias("comp"))
+        )
         new = (
-            labels.select("id", "comp").unionAll(msgs)
+            labels.select("id", "comp").unionAll(msgs).unionAll(jump)
             .groupBy("id").agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
@@ -374,7 +389,14 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(labels still changing) — raise max_iter; returning partial "
+            f"labels would under-merge duplicate clusters"
+        )
     return labels
 
 

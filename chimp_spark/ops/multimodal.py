@@ -289,10 +289,24 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ws = b.column("width")
             hs = b.column("height")
             durs = b.column("duration_ms")
+            # bounded head reads (the stub only seeds off the first 8
+            # bytes): slice the flat arrow buffer instead of .as_py()ing
+            # whole payloads — a multi-GB video blob must never be
+            # materialized per row (same pattern as image_metadata);
+            # when a real PyAV decoder that needs full bytes lands, it
+            # should stream from the buffer, not copy it
+            bufs = payloads.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                payloads.offset : payloads.offset + len(payloads) + 1
+            ]
+            data = memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
+            valid = np.asarray(payloads.is_valid())
             for i in range(b.num_rows):
                 dur = durs[i].as_py() or 0
                 n_frames = max(dur // every_ms, 1)
-                payload = payloads[i].as_py() or b""
+                lo = int(offs[i])
+                hi = min(int(offs[i + 1]), lo + 8)
+                payload = bytes(data[lo:hi]) if valid[i] else b""
                 w = ws[i].as_py() or 0
                 h = hs[i].as_py() or 0
                 for fi in range(n_frames):

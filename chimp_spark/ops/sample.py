@@ -71,6 +71,20 @@ def stratified_hash_sample(
     return df.filter(hash_draw(cols, seed) < thr)
 
 
+def split_thresholds(weights: dict[str, float]) -> list[str]:
+    """The cumulative hex thresholds train_test_split compares against
+    (one per split but the last). The running sum is rounded to 12
+    decimals so float accumulation (0.8 + 0.1 = 0.9000000000000001)
+    can't shift a boundary one 52-bit unit off the documented external
+    expression hash_threshold(0.9) that oracles reproduce."""
+    acc = 0.0
+    out = []
+    for name in list(weights)[:-1]:
+        acc = round(acc + weights[name], 12)
+        out.append(hash_threshold(acc))
+    return out
+
+
 def train_test_split(
     df: DataFrame, weights: dict[str, float], cols: list[str],
     seed: str = "split1", split_col: str = "split",
@@ -85,11 +99,9 @@ def train_test_split(
         raise ValueError(f"weights must sum to 1, got {total}")
     draw = hash_draw(cols, seed)
     expr = None
-    acc = 0.0
     names = list(weights)
-    for name in names[:-1]:
-        acc += weights[name]
-        cond = draw < F.lit(hash_threshold(acc))
+    for name, thr in zip(names[:-1], split_thresholds(weights)):
+        cond = draw < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)

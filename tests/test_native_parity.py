@@ -122,3 +122,25 @@ def test_fsst_decode_native_equals_python(no_native, monkeypatch):
     np.testing.assert_array_equal(be_py, be_nat)
     np.testing.assert_array_equal(np.asarray(data_py), np.asarray(data_nat))
     assert bytes(data_nat) == data
+
+
+def test_fsst_decode_truncated_escape_guard():
+    """A corrupt payload whose LAST code byte is 0xFF (an escape with
+    no literal) must be rejected (-1) by both C walks, not read one
+    byte out of bounds."""
+    import ctypes
+
+    nat = native_mod.get()
+    sym_len = np.ones(256, dtype=np.int32)
+    codes = np.array([1, 2, 255], dtype=np.uint8)  # trailing escape
+    assert nat["fsst_decoded_size"](codes, ctypes.c_long(3), sym_len) == -1
+
+    code_off = np.array([0, 3], dtype=np.int64)
+    table = np.zeros(256 * 8, dtype=np.uint8)
+    out = np.empty(64, dtype=np.uint8)
+    byte_ends = np.zeros(1, dtype=np.int64)
+    got = nat["fsst_decode_block"](
+        codes, code_off, ctypes.c_long(1), table, sym_len, out,
+        ctypes.c_long(64), byte_ends,
+    )
+    assert got == -1

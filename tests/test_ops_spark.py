@@ -555,3 +555,41 @@ def test_minhash_dedup_end_to_end(spark, docs):
     dropped = {r["doc_id"] for r in docs.select("doc_id").collect()} - out1
     nodes = {x for p in truth_pairs for x in p}
     assert dropped <= nodes
+
+
+def test_connected_components_long_chain_and_nonconvergence(spark):
+    """Pointer jumping makes long chains (templated crawl boilerplate)
+    converge in O(log diameter) rounds — a 301-vertex path collapses
+    well inside the default max_iter; and when the budget truly is too
+    small the op must RAISE, never return partially-merged labels
+    (silent under-merge = dedup keeping rows it should drop)."""
+    import pytest as _pytest
+
+    from chimp_spark.ops import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    comp = {r["id"]: r["comp"] for r in D.connected_components(chain).collect()}
+    assert set(comp) == set(range(301))
+    assert set(comp.values()) == {0}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=2)
+
+
+def test_split_thresholds_exact_cumulative():
+    """The 0.8/0.1/0.1 split boundaries must be EXACTLY
+    hash_threshold(0.8) and hash_threshold(0.9) — the documented
+    external expressions oracles reproduce — not float-accumulated
+    hash_threshold(0.9000000000000001)."""
+    from chimp_spark.ops.sample import hash_threshold, split_thresholds
+
+    thr = split_thresholds({"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert thr == [hash_threshold(0.8), hash_threshold(0.9)]
+    # the exact regression (0.1 + 0.2 = 0.30000000000000004): naive
+    # float accumulation lands one 52-bit unit above the documented
+    # boundary; the rounded accumulator must hit it exactly
+    thr2 = split_thresholds({"a": 0.1, "b": 0.2, "c": 0.7})
+    assert thr2 == [hash_threshold(0.1), hash_threshold(0.3)]
+    assert hash_threshold(0.1 + 0.2) != hash_threshold(0.3)
