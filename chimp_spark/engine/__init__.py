@@ -9,6 +9,7 @@ from .core import (
     verify_table,
 )
 from .manifest import EncodedTable, encode_and_commit
+from .sink import decode_files_to_parquet, decode_table_to_parquet, decode_to_parquet
 from .scan import encode_parquet, parquet_work_units, resolve_paths, units_fingerprint
 from .partitioning import (
     detect_hot_keys,
@@ -23,6 +24,9 @@ __all__ = [
     "EncodedTable",
     "compression_summary",
     "decode_column",
+    "decode_files_to_parquet",
+    "decode_table_to_parquet",
+    "decode_to_parquet",
     "decode_table",
     "detect_hot_keys",
     "encode_and_commit",

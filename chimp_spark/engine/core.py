@@ -277,6 +277,88 @@ def _cast_to(arr: pa.Array, t: pa.DataType) -> pa.Array:
     return arr if arr.type == t else arr.cast(t)
 
 
+def colocate_chunks(encoded: DataFrame, columns: list[str]) -> DataFrame:
+    """The decode co-location plan: ONE hash shuffle moving compressed
+    frames so every (run, part, chunk) group's per-column frames land
+    in the same task, in order. Shared by decode_table (JVM-emitting)
+    and sink.decode_to_parquet (task-side writes)."""
+    return (
+        encoded.filter(F.col("column").isin(columns))
+        .select("run_id", "part_id", "chunk_id", "row_start", "column", "checksum", "frame")
+        .repartition(F.col("run_id"), F.col("part_id"), F.col("chunk_id"))
+        .sortWithinPartitions("run_id", "part_id", "chunk_id", "column")
+    )
+
+
+def ddl_arrow_types(ddl: str) -> dict[str, pa.DataType]:
+    return {
+        f.split()[0]: _arrow_type_of_ddl(" ".join(f.split()[1:]))
+        for f in ddl.split(",")
+    }
+
+
+def iter_decoded_groups(
+    batches: Iterator[pa.RecordBatch],
+    columns: list[str],
+    out_types: dict[str, pa.DataType],
+    verify_checksums: bool = False,
+) -> Iterator[pa.RecordBatch]:
+    """Worker-side decode of co-located chunk rows (colocate_chunks
+    order) -> one (part_id, row_id, *columns) RecordBatch per chunk
+    group. The shared kernel behind decode_table and the parquet sink.
+    """
+    from ..framing import checksum_of
+
+    group_key: tuple[str, int, int] | None = None
+    group: dict[str, bytes] = {}
+    sums: dict[str, int] = {}
+    group_meta: tuple[int, int] = (0, 0)
+
+    def emit() -> pa.RecordBatch:
+        pid, rs = group_meta
+        missing = [c for c in columns if c not in group]
+        if missing:
+            raise ValueError(
+                f"chunk (run={group_key[0]}, part={pid}) lacks columns "
+                f"{missing}: decode_table needs all columns from ONE "
+                f"encode run — encode them together or decode per "
+                f"column and join on (part_id, row_id)"
+            )
+        raws = {c: decode_chunk(group[c]) for c in columns}
+        if verify_checksums:
+            for c, a in raws.items():
+                if checksum_of(a) != sums[c]:
+                    raise ValueError(
+                        f"checksum mismatch: col={c} part={pid} row_start={rs}"
+                    )
+        arrs = {c: _cast_to(raws[c], out_types[c]) for c in columns}
+        n = len(next(iter(arrs.values())))
+        cols = [
+            pa.array(np.full(n, pid, dtype=np.int32)),
+            pa.array(rs + np.arange(n, dtype=np.int64)),
+        ] + [arrs[c] for c in columns]
+        return pa.RecordBatch.from_arrays(cols, names=["part_id", "row_id"] + columns)
+
+    for b in batches:
+        for i in range(b.num_rows):
+            key = (
+                b.column("run_id")[i].as_py(),
+                b.column("part_id")[i].as_py(),
+                b.column("chunk_id")[i].as_py(),
+            )
+            if key != group_key and group:
+                yield emit()
+                group = {}
+            group_key = key
+            group_meta = (key[1], b.column("row_start")[i].as_py())
+            col_name = b.column("column")[i].as_py()
+            # zero-copy: the arrow buffer stays alive via refcount
+            group[col_name] = memoryview(b.column("frame")[i].as_buffer())
+            sums[col_name] = b.column("checksum")[i].as_py()
+    if group:
+        yield emit()
+
+
 def decode_table(
     encoded: DataFrame, columns: list[str], ddl: str,
     verify_checksums: bool = False,
@@ -287,72 +369,21 @@ def decode_table(
     then each group's frames (one per column) decode into a single
     output batch. ``ddl`` gives the decoded column types, e.g.
     ``"l_orderkey long, l_extendedprice double"``.
+
+    This path emits decoded VALUES through Spark (Arrow -> JVM rows) —
+    right when the values feed further Spark plan nodes (joins, aggs).
+    A consumer that just needs decoded files should use
+    ``sink.decode_to_parquet``, which writes shards straight from the
+    tasks and never pays the JVM emit.
     """
     from .. import _ship
 
     _ship.ensure(encoded.sparkSession)
-    sel = (
-        encoded.filter(F.col("column").isin(columns))
-        .select("run_id", "part_id", "chunk_id", "row_start", "column", "checksum", "frame")
-        .repartition(F.col("run_id"), F.col("part_id"), F.col("chunk_id"))
-        .sortWithinPartitions("run_id", "part_id", "chunk_id", "column")
-    )
-    out_types = {
-        f.split()[0]: _arrow_type_of_ddl(" ".join(f.split()[1:]))
-        for f in ddl.split(",")
-    }
+    sel = colocate_chunks(encoded, columns)
+    out_types = ddl_arrow_types(ddl)
 
     def dec_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..framing import checksum_of
-
-        group_key: tuple[str, int, int] | None = None
-        group: dict[str, bytes] = {}
-        sums: dict[str, int] = {}
-        group_meta: tuple[int, int] = (0, 0)
-
-        def emit() -> pa.RecordBatch:
-            pid, rs = group_meta
-            missing = [c for c in columns if c not in group]
-            if missing:
-                raise ValueError(
-                    f"chunk (run={group_key[0]}, part={pid}) lacks columns "
-                    f"{missing}: decode_table needs all columns from ONE "
-                    f"encode run — encode them together or decode per "
-                    f"column and join on (part_id, row_id)"
-                )
-            raws = {c: decode_chunk(group[c]) for c in columns}
-            if verify_checksums:
-                for c, a in raws.items():
-                    if checksum_of(a) != sums[c]:
-                        raise ValueError(
-                            f"checksum mismatch: col={c} part={pid} row_start={rs}"
-                        )
-            arrs = {c: _cast_to(raws[c], out_types[c]) for c in columns}
-            n = len(next(iter(arrs.values())))
-            cols = [
-                pa.array(np.full(n, pid, dtype=np.int32)),
-                pa.array(rs + np.arange(n, dtype=np.int64)),
-            ] + [arrs[c] for c in columns]
-            return pa.RecordBatch.from_arrays(cols, names=["part_id", "row_id"] + columns)
-
-        for b in batches:
-            for i in range(b.num_rows):
-                key = (
-                    b.column("run_id")[i].as_py(),
-                    b.column("part_id")[i].as_py(),
-                    b.column("chunk_id")[i].as_py(),
-                )
-                if key != group_key and group:
-                    yield emit()
-                    group = {}
-                group_key = key
-                group_meta = (key[1], b.column("row_start")[i].as_py())
-                col_name = b.column("column")[i].as_py()
-                # zero-copy: the arrow buffer stays alive via refcount
-                group[col_name] = memoryview(b.column("frame")[i].as_buffer())
-                sums[col_name] = b.column("checksum")[i].as_py()
-        if group:
-            yield emit()
+        yield from iter_decoded_groups(batches, columns, out_types, verify_checksums)
 
     return sel.mapInArrow(dec_iter, f"part_id int, row_id long, {ddl}")
 

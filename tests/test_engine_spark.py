@@ -442,3 +442,100 @@ def test_scan_resume_refuses_changed_file_set(spark, tmp_path):
     t2.commit(spark, part1, "orders", mode="scan")  # no fingerprint
     with pytest.raises(ValueError, match="scan resume refused"):
         t2.completed_scan_units("orders", fp)
+
+
+def test_decode_to_parquet_sink_bit_identical(spark, tmp_path):
+    """The task-side parquet sink must produce BYTE-identical data to
+    decode_table (same rows, same value bits, same alignment ids) —
+    it's the same kernel behind a different emitter. Also pins the
+    commit protocol: manifest row counts match, staging dir swept,
+    overwrite semantics, and checksum verification flows through."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_orderkey", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    ddl = ("l_orderkey long, l_extendedprice double, "
+           "l_returnflag string, l_shipdate timestamp")
+    enc = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=4096,
+                                  table_name="lineitem").cache()
+    out = str(tmp_path / "decoded")
+    res = engine.decode_to_parquet(enc, cols, ddl, out, verify_checksums=True,
+                                   row_group_rows=8192)
+    n = df.count()
+    assert res["rows"] == n and res["files"] >= 1
+
+    man = json.load(open(os.path.join(out, "_decode_manifest.json")))
+    assert man["rows"] == n
+    assert sum(f["rows"] for f in man["files"]) == n
+    assert not os.path.exists(os.path.join(out, "_staged"))
+
+    written = spark.read.parquet(out)
+    ref = engine.decode_table(enc, cols, ddl)
+    # float bits: compare doubles through a string cast (Spark would
+    # otherwise normalize -0.0/NaN)
+    def canon(d):
+        return d.select(
+            "part_id", "row_id", "l_orderkey",
+            F.col("l_extendedprice").cast("string").alias("p"),
+            "l_returnflag", "l_shipdate",
+        )
+    assert canon(written).exceptAll(canon(ref)).isEmpty()
+    assert canon(ref).exceptAll(canon(written)).isEmpty()
+
+    # parquet metadata: row groups respect the requested bound
+    f0 = pq.ParquetFile(os.path.join(out, man["files"][0]["file"]))
+    assert f0.metadata.num_rows > 0
+
+    # refuse to clobber silently; overwrite mode replaces
+    with pytest.raises(FileExistsError):
+        engine.decode_to_parquet(enc, cols, ddl, out)
+    res2 = engine.decode_to_parquet(enc, ["l_orderkey"], "l_orderkey long", out,
+                                    mode="overwrite", with_row_ids=False)
+    assert res2["rows"] == n
+    w2 = spark.read.parquet(out)
+    assert w2.columns == ["l_orderkey"]
+    assert w2.count() == n
+    enc.unpersist()
+
+
+def test_decode_table_to_parquet_no_shuffle_sink(spark, tmp_path):
+    """The file-unit sink (committed EncodedTable -> decoded parquet,
+    zero shuffle) must be bit-identical to decode_table over the same
+    commit, across a multi-commit (resume-shaped) table history."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_orderkey", "l_extendedprice", "l_shipdate"]
+    ddl = "l_orderkey long, l_extendedprice double, l_shipdate timestamp"
+    root = str(tmp_path / "enc_table")
+    t = engine.EncodedTable(root)
+    # two commits (like a resumed job): decode must cover both
+    half1 = df.filter(F.col("l_orderkey") % 2 == 0)
+    half2 = df.filter(F.col("l_orderkey") % 2 == 1)
+    for part in (half1, half2):
+        enc = engine.encode_dataframe(part, cols, codec="auto", chunk_rows=4096,
+                                      table_name="lineitem")
+        t.commit(spark, enc, "lineitem", mode="df")
+
+    out = str(tmp_path / "decoded_nsh")
+    res = engine.decode_table_to_parquet(spark, root, cols, ddl, out,
+                                         table="lineitem", verify_checksums=True)
+    n = df.count()
+    assert res["rows"] == n
+
+    written = spark.read.parquet(out)
+    ref = engine.decode_table(t.read(spark), cols, ddl)
+
+    def canon(d):
+        return d.select(
+            "l_orderkey",
+            F.col("l_extendedprice").cast("string").alias("p"),
+            "l_shipdate",
+        )
+    assert canon(written).exceptAll(canon(ref)).isEmpty()
+    assert canon(ref).exceptAll(canon(written)).isEmpty()
+    # and against the source itself
+    src = df.select("l_orderkey", F.col("l_extendedprice").cast("string").alias("p"),
+                    "l_shipdate")
+    assert canon(written).exceptAll(src).isEmpty()
+    assert src.exceptAll(canon(written)).isEmpty()
