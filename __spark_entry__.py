@@ -11,7 +11,7 @@ run a TPC-H-style query over *decoded* columns vs raw SQL.
 Non-SQL-expressible entries have no oracle and get the driver's
 rows-only check — BY DESIGN, not correctness debt (r2 judge note):
 ``simhash_dups_documents``, ``chargram_fp_documents``,
-``lsh_ann_topk_embeddings``,
+``lsh_ann_topk_embeddings``, ``lsh_ann_batch_topk_embeddings``,
 ``ivf_ann_topk_embeddings`` (approximate/signature algorithms),
 ``compression_summary_lineitem`` (engine-internal metrics), and
 ``pages_pipeline_invariant`` (self-checking invariant, mismatches
@@ -280,6 +280,25 @@ def _lsh_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(root, "ann_index.json")):
         ann_index.build_lsh_index(emb, root, dim=len(q), nbits=6, tables=4)
     return ann_index.lsh_index_topk(spark, root, q, k=5)
+
+
+def _lsh_ann_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN against the persisted LSH index (approximate by
+    design -> rows-only): 8 query vectors, ONE partition-pruned index
+    scan + broadcast probe/query joins (plan-pinned in
+    tests/test_plans.py) instead of 8 sequential scans."""
+    from chimp_spark.ops import ann_index
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    root = _ann_index_root(sf_dir, "lsh", "nbits6_t4_s7")
+    if not os.path.exists(os.path.join(root, "ann_index.json")):
+        ann_index.build_lsh_index(emb, root, dim=len(probe), nbits=6, tables=4)
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ann_index.lsh_index_topk_batch(spark, root, qdf, k=3)
+    return out.select("qid", "vec_id", "rank")
 
 
 def _ivf_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups_documents": _simhash_dups,
         "chargram_fp_documents": _chargram_fp_q,
         "lsh_ann_topk_embeddings": _lsh_ann_q,
+        "lsh_ann_batch_topk_embeddings": _lsh_ann_batch_q,
         "ivf_ann_topk_embeddings": _ivf_ann_q,
         "lang_id_documents": _lang_id_q,
         "compression_summary_lineitem": _compression_summary_q,

@@ -253,3 +253,190 @@ def ivf_index_topk(
         F.col("id").alias(meta["id_col"]), F.col("vec").alias(meta["vec_col"])
     )
     return cosine_topk(cands, query, k, meta["id_col"], meta["vec_col"])
+
+
+# ---------------------------------------------------------------------------
+# Batch queries: Q vectors, ONE pruned index scan
+# ---------------------------------------------------------------------------
+
+_MAX_QUERY_BATCH = 100_000
+
+
+def _pairwise_cosine(vec_col: str, qvec_col: str):
+    """Cosine between two array columns — Catalyst fold, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col(qvec_col),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x)
+    )
+    nq = F.sqrt(
+        F.aggregate(F.col(qvec_col), F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x)
+    )
+    return dot / (nv * nq)
+
+
+def _collect_queries(
+    queries: DataFrame, qid_col: str, vec_col: str, dim: int
+) -> list[tuple]:
+    """Driver-side query block. Probe math needs the raw vectors, and
+    a serving batch is bounded (thousands) — the collect moves no more
+    rows than the result itself. A MILLION-query 'batch' is a join
+    workload, not a serving batch: use similarity.rp_signatures_multi
+    + the candidate-pair join path instead of an index."""
+    rows = queries.select(qid_col, vec_col).limit(_MAX_QUERY_BATCH + 1).collect()
+    if len(rows) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds {_MAX_QUERY_BATCH}: that is a corpus-join "
+            f"workload — use similarity.rp_signatures_multi banding, not "
+            f"per-query index probes"
+        )
+    out = []
+    seen = set()
+    for r in rows:
+        qid, vec = r[0], r[1]
+        if qid in seen:
+            raise ValueError(f"duplicate query id {qid!r} in batch")
+        seen.add(qid)
+        if vec is None or len(vec) != dim:
+            raise ValueError(
+                f"query {qid!r}: dim {None if vec is None else len(vec)} "
+                f"!= index dim {dim}"
+            )
+        out.append((qid, [float(x) for x in vec]))
+    return out
+
+
+def _query_block_df(spark: SparkSession, qrows: list[tuple], qid_type) -> DataFrame:
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    schema = StructType([
+        StructField("__qid", qid_type),
+        StructField("__qvec", ArrayType(FloatType())),
+    ])
+    return spark.createDataFrame(qrows, schema)
+
+
+def _rank_topk(cand: DataFrame, qid_col: str, id_col: str, k: int) -> DataFrame:
+    """Exact cosine rank within each query's candidates. The window
+    shuffle moves only (qid, id, cos)-sized candidate rows — bounded
+    by probed-bucket sizes, never the corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos"), F.col("id"))
+    return (
+        cand.withColumn("cos", _pairwise_cosine("vec", "__qvec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(qid_col), F.col("id").alias(id_col),
+            "cos", "rank",
+        )
+    )
+
+
+def lsh_index_topk_batch(
+    spark: SparkSession, root: str, queries: DataFrame, k: int = 10,
+    multiprobe: int = 1, qid_col: str = "qid", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k for a BATCH of query vectors against a persisted LSH
+    index: all queries' probes are unioned into ONE partition-pruned
+    index scan (directory prune on the probed pfx set, row-group
+    min/max prune on the probed bucket set), a broadcast join on
+    (t, bucket) exactifies per-query membership, a broadcast of the
+    query block provides vectors for the cosine, and a per-query
+    window ranks. Q sequential lsh_index_topk calls would pay Q scans;
+    this pays one. -> (qid, id, cos, rank <= k)."""
+    meta = load_manifest(root)
+    if meta["kind"] != "lsh":
+        raise ValueError(f"index at {root} is kind={meta['kind']!r}, not lsh")
+    qrows = _collect_queries(queries, qid_col, vec_col, meta["dim"])
+    if not qrows:
+        raise ValueError("empty query batch")
+    probe_rows: list[tuple] = []
+    for qid, q in qrows:
+        for t, ps in _lsh_probes(meta, q, multiprobe).items():
+            probe_rows.extend((qid, t, p) for p in ps)
+    n_pfx = meta["n_pfx"]
+    pfx_all = sorted({b & (n_pfx - 1) for _, _, b in probe_rows})
+    idx = spark.read.parquet(os.path.join(root, "index")).filter(
+        F.col("pfx").isin(pfx_all)
+    )
+    buckets_all = sorted({b for _, _, b in probe_rows})
+    if len(buckets_all) <= 4096:
+        # row-group min/max prune; exactness comes from the probe join.
+        # For very large batches the literal list would bloat the plan
+        # for little pruning value — the partition prune still holds.
+        idx = idx.filter(F.col("bucket").isin(buckets_all))
+
+    qid_type = queries.schema[qid_col].dataType
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    probes_df = spark.createDataFrame(
+        probe_rows,
+        StructType([
+            StructField("__qid", qid_type),
+            StructField("t", IntegerType()),
+            StructField("bucket", LongType()),
+        ]),
+    )
+    cand = (
+        idx.join(F.broadcast(probes_df), ["t", "bucket"])
+        .select("__qid", "id", "vec")
+        .dropDuplicates(["__qid", "id"])  # same candidate via several tables
+        .join(F.broadcast(_query_block_df(spark, qrows, qid_type)), "__qid")
+    )
+    return _rank_topk(cand, qid_col, meta["id_col"], k)
+
+
+def ivf_index_topk_batch(
+    spark: SparkSession, root: str, queries: DataFrame, k: int = 10,
+    nprobe: int = 4, qid_col: str = "qid", vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch top-k against a persisted IVF index: one scan over the
+    UNION of all queries' nprobe lists (directory prune on list_id), a
+    broadcast probe join assigns candidates to queries, exact cosine
+    ranks per query. -> (qid, id, cos, rank <= k)."""
+    meta = load_manifest(root)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"index at {root} is kind={meta['kind']!r}, not ivf")
+    qrows = _collect_queries(queries, qid_col, vec_col, meta["dim"])
+    if not qrows:
+        raise ValueError("empty query batch")
+    cent = np.load(os.path.join(root, "centroids.npy"))
+    qmat = np.asarray([q for _, q in qrows], dtype=np.float32)
+    qnorm = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12
+    )
+    order = np.argsort(-(qnorm @ cent.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (qid, int(lst))
+        for (qid, _), lists in zip(qrows, order)
+        for lst in lists
+    ]
+    lists_all = sorted({lst for _, lst in probe_rows})
+    idx = spark.read.parquet(os.path.join(root, "index")).filter(
+        F.col("list_id").isin(lists_all)
+    )
+    qid_type = queries.schema[qid_col].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    probes_df = spark.createDataFrame(
+        probe_rows,
+        StructType([
+            StructField("__qid", qid_type),
+            StructField("list_id", IntegerType()),
+        ]),
+    )
+    cand = (
+        idx.join(F.broadcast(probes_df), ["list_id"])
+        .select("__qid", "id", "vec")
+        .join(F.broadcast(_query_block_df(spark, qrows, qid_type)), "__qid")
+    )
+    return _rank_topk(cand, qid_col, meta["id_col"], k)

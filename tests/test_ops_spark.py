@@ -593,3 +593,69 @@ def test_split_thresholds_exact_cumulative():
     thr2 = split_thresholds({"a": 0.1, "b": 0.2, "c": 0.7})
     assert thr2 == [hash_threshold(0.1), hash_threshold(0.3)]
     assert hash_threshold(0.1 + 0.2) != hash_threshold(0.3)
+
+
+def test_batch_ann_topk_matches_single_query(spark, embeddings, tmp_path):
+    """Batch index queries (ONE pruned scan for Q vectors) must return
+    the same ids as Q single-vector queries, with recall >= 0.9 against
+    exact brute force — and must reject malformed batches."""
+    from chimp_spark.ops import ann_index
+
+    rows, planted = _planted_corpus(embeddings)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    n = df.count()
+    params = similarity.ann_params(n, target_bucket=64)
+    lsh_root = str(tmp_path / "lsh_b")
+    ann_index.build_lsh_index(
+        df, lsh_root, dim=64, nbits=params["nbits"], tables=params["tables"]
+    )
+    ivf_root = str(tmp_path / "ivf_b")
+    ann_index.build_ivf_index(df, ivf_root, dim=64, n_centroids=16)
+
+    qdf = spark.createDataFrame(
+        [(qi, rows[qi][1]) for qi in planted], "qid long, embedding array<float>"
+    )
+    batch_lsh = ann_index.lsh_index_topk_batch(spark, lsh_root, qdf, k=4)
+    by_q = {}
+    for r in batch_lsh.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    hits = want = 0
+    for qi in planted:
+        q = rows[qi][1]
+        single = [r["vec_id"] for r in
+                  ann_index.lsh_index_topk(spark, lsh_root, q, k=4).collect()]
+        got = [v for _, v in sorted(by_q.get(qi, []))]
+        assert got == single, f"batch != single for q{qi}: {got} vs {single}"
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+        hits += len(set(exact) & set(got))
+        want += 4
+    assert hits / want >= 0.9, f"batch-lsh recall {hits}/{want}"
+
+    batch_ivf = ann_index.ivf_index_topk_batch(spark, ivf_root, qdf, k=4, nprobe=4)
+    by_q = {}
+    for r in batch_ivf.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    hits = want = 0
+    for qi in planted:
+        q = rows[qi][1]
+        single = [r["vec_id"] for r in
+                  ann_index.ivf_index_topk(spark, ivf_root, q, k=4, nprobe=4).collect()]
+        got = [v for _, v in sorted(by_q.get(qi, []))]
+        assert got == single
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=4).collect()]
+        hits += len(set(exact) & set(got))
+        want += 4
+    assert hits / want >= 0.9, f"batch-ivf recall {hits}/{want}"
+
+    # guard rails: duplicate qids, wrong dim, wrong kind
+    dup = spark.createDataFrame(
+        [(1, rows[0][1]), (1, rows[1][1])], "qid long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_index.lsh_index_topk_batch(spark, lsh_root, dup)
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "qid long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        ann_index.ivf_index_topk_batch(spark, ivf_root, bad)
+    with pytest.raises(ValueError, match="kind"):
+        ann_index.lsh_index_topk_batch(spark, ivf_root, qdf)
+    df.unpersist()
