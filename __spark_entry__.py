@@ -15,9 +15,10 @@ rows-only check — BY DESIGN, not correctness debt (r2 judge note):
 ``ivf_ann_topk_embeddings`` (approximate/signature algorithms),
 ``compression_summary_lineitem`` (engine-internal metrics), and
 ``pages_pipeline_invariant`` (self-checking invariant, mismatches
-must be 0). Everything else — 36 of 42 queries — is oracle-checked,
-including the end-to-end near-dup corpus dedup (recursive-CTE
-transitive closure) and the deterministic sampling/split subsets.
+must be 0). Everything else — 37 of 44 queries — is oracle-checked,
+including BOTH end-to-end near-dup corpus dedups (word-level MinHash
+and character-level chargram, each against a recursive-CTE transitive
+closure) and the deterministic sampling/split subsets.
 """
 
 from __future__ import annotations
@@ -466,6 +467,45 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
 """
 
 
+def _chargram_dedup_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CHARACTER-LEVEL corpus dedup on a no-space corpus
+    (every space stripped from documents — the CJK/code shape word
+    tokenizers can't split): rolling-hash k-gram sketches -> banded
+    LSH -> exact chargram-Jaccard verify -> connected components ->
+    keep min-id per cluster. Deterministic; the oracle reproduces the
+    surviving id set via brute-force chargram Jaccard + a recursive-CTE
+    transitive closure."""
+    from chimp_spark.ops import dedup
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("text")
+    )
+    return dedup.chargram_dedup(df, threshold=0.8).select("doc_id")
+
+
+_CHARGRAM_DEDUP_KEEP_ORACLE = """
+WITH RECURSIVE
+d AS (SELECT doc_id, replace(text, ' ', '') AS t FROM documents),
+sh AS (SELECT doc_id,
+   list_distinct([substring(t, i, 8)
+                  for i in range(1, greatest(len(t)-7, 1)+1)]) AS s
+ FROM d),
+p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+      WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+            / greatest(len(list_distinct(l.s || r.s)), 1) >= 0.8),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(id, r) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT rc.id, e.b FROM reach rc JOIN e ON rc.r = e.a
+),
+comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp < id)
+"""
+
+
 def _hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed sampling: the oracle reproduces the
     EXACT subset from the same expression — the reproducibility
@@ -694,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_documents": _bpe_tokens_q,
         "minhash_dedup_documents": _minhash_dedup,
         "minhash_dedup_keep_documents": _minhash_dedup_keep_q,
+        "chargram_dedup_keep_documents": _chargram_dedup_keep_q,
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
         # rows-only (no SQL equivalent)
@@ -747,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_dedup_documents": _MINHASH_ORACLE,
         "minhash_dedup_keep_documents": _MINHASH_DEDUP_KEEP_ORACLE,
+        "chargram_dedup_keep_documents": _CHARGRAM_DEDUP_KEEP_ORACLE,
         "text_stats_documents": _TEXT_STATS_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         "lang_id_documents": _lang_id_oracle(),

@@ -231,15 +231,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    sig_col: str = "sig",
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band_key) -> (a, b)
-    candidate pairs (a < b). Shuffle key is a 2-int tuple, never text."""
+    candidate pairs (a < b). Shuffle key is a 2-int tuple, never text.
+    Works over any bottom-sketch column (word MinHash ``sig``, chargram
+    ``fp``) — the banding algebra is sketch-agnostic."""
     banded = signatures.select(
         "id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)])
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
@@ -510,6 +513,70 @@ def chargram_minhash_signatures(
             )
 
     return sel.mapInArrow(kernel, "id long, fp array<long>")
+
+
+def chargram_array(text_col: str, k: int = 8) -> F.Column:
+    """All k-byte character windows of a string, pure Catalyst
+    (``substr`` over a ``sequence``). Docs shorter than ``k`` yield
+    their whole text as the single gram — the same fallback the
+    rolling-hash fingerprints use, so verify and sketch agree."""
+    n = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n.cast("int")),
+        lambda i: F.col(text_col).substr(i, F.lit(k)),
+    )
+
+
+def verify_chargram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.8, k: int = 8,
+) -> DataFrame:
+    """Exact character-k-gram set Jaccard on candidate pairs (JVM set
+    ops) — the character-level twin of verify_jaccard for corpora word
+    tokenizers can't split (no spaces, CJK, code)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(chargram_array(text_col, k)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def chargram_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, k: int = 8, num_hashes: int = 16, bands: int = 8,
+) -> DataFrame:
+    """Character-level near-dup pairs: rolling-hash k-gram bottom
+    sketches -> banding equi-join -> exact chargram-Jaccard verify.
+    Candidate recall at the threshold: 1-(1-t^r)^b with r =
+    num_hashes/bands (defaults: t=0.8, r=2, b=8 -> 0.9997)."""
+    fps = chargram_minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        fps, bands=bands, rows_per_band=num_hashes // bands, sig_col="fp"
+    )
+    return verify_chargram_jaccard(cands, df, id_col, text_col, threshold, k)
+
+
+def chargram_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, k: int = 8, num_hashes: int = 16, bands: int = 8,
+) -> DataFrame:
+    """END-TO-END character-level corpus dedup: the no-space/CJK/code
+    twin of minhash_dedup. Rolling-hash sketches -> banded LSH ->
+    exact chargram-Jaccard verify -> connected components -> keep the
+    min-id document per duplicate cluster. Deterministic and
+    oracle-checkable (brute-force chargram Jaccard + transitive
+    closure reproduce the surviving id set)."""
+    pairs = chargram_dedup_pairs(df, id_col, text_col, threshold, k, num_hashes, bands)
+    return dedup_keep_canonical(df, pairs, id_col)
 
 
 # ---------------------------------------------------------------------------

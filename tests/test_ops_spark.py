@@ -659,3 +659,50 @@ def test_batch_ann_topk_matches_single_query(spark, embeddings, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         ann_index.lsh_index_topk_batch(spark, ivf_root, qdf)
     df.unpersist()
+
+
+def test_chargram_dedup_end_to_end_no_space_corpus(spark, docs):
+    """Character-level dedup must work where word tokenizers can't:
+    strip all spaces from the corpus (CJK/no-space shape) and check the
+    lane (sketch -> band -> verify -> components -> keep) against
+    brute-force chargram-Jaccard ground truth + manual closure."""
+    nospace = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("text")
+    ).cache()
+
+    found = {(r["a"], r["b"]) for r in
+             dedup.chargram_dedup_pairs(nospace, threshold=0.8).collect()}
+    sh = nospace.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(dedup.chargram_array("text", 8)).alias("sh"),
+    )
+    brute = (
+        sh.alias("l").join(sh.alias("r"), F.col("l.id") < F.col("r.id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.sh", "r.sh"))
+            / F.greatest(F.size(F.array_union("l.sh", "r.sh")), F.lit(1)),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    truth = {(r[0], r[1]) for r in brute.select("l.id", "r.id").collect()}
+    assert len(truth) > 0  # the planted near-dups survive space-stripping
+    assert found == truth
+
+    kept = {r["doc_id"] for r in
+            dedup.chargram_dedup(nospace, threshold=0.8).select("doc_id").collect()}
+    # manual closure over the truth pairs
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for a, b in truth:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = {r["doc_id"] for r in nospace.select("doc_id").collect()}
+    losers = {x for x in all_ids if find(x) != x}
+    assert kept == all_ids - losers
+    nospace.unpersist()
