@@ -50,8 +50,11 @@ from .similarity import (
 )
 
 _MANIFEST = "ann_index.json"
-FORMAT_VERSION = 1  # bump when the index layout changes; loaders refuse
-# newer formats instead of misreading them
+FORMAT_VERSION = 2  # v2: the index is partitioned by a leading epoch
+# directory (epoch=N/t=../pfx=.. or epoch=N/list_id=..) so a growing
+# corpus APPENDS an epoch instead of re-paying the full build; v1
+# (no epoch level) indexes still load and query. Loaders refuse
+# formats NEWER than this instead of misreading them.
 
 
 def _write_manifest(root: str, meta: dict) -> None:
@@ -106,33 +109,102 @@ def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
     return sel.mapInArrow(kernel, "t int, id long, bucket long, vec array<float>")
 
 
+def _next_epoch(
+    root: str, params: dict, fingerprint: str | None
+) -> tuple[dict, int]:
+    """Validate an append against the existing manifest: every index
+    parameter must match EXACTLY (appending with different planes /
+    centroids / prefix masks would silently corrupt recall), the index
+    must be epoch-partitioned (format >= 2), and a corpus fingerprint
+    already indexed is refused (appending the same files twice doubles
+    every candidate). Returns (manifest, new_epoch)."""
+    meta = load_manifest(root)
+    if "epochs" not in meta:
+        raise ValueError(
+            f"index at {root} predates epoch partitioning (format "
+            f"{meta.get('format', 1)}): rebuild once to enable append"
+        )
+    for k, v in params.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"append refused: param {k}={v!r} != index's {meta.get(k)!r} "
+                f"(an index's planes/centroids are fixed at build time)"
+            )
+    if fingerprint is not None:
+        done = {e.get("fingerprint") for e in meta["epochs"]}
+        if fingerprint in done:
+            raise ValueError(
+                f"append refused: corpus fingerprint {fingerprint!r} is "
+                f"already indexed (epoch "
+                f"{[e['epoch'] for e in meta['epochs'] if e.get('fingerprint') == fingerprint]})"
+            )
+    return meta, max(e["epoch"] for e in meta["epochs"]) + 1
+
+
+def _write_epoch(idx: DataFrame, root: str, epoch: int,
+                 partition_cols: list[str]) -> None:
+    """Crash-safe epoch write: the partitioned data lands in a staged
+    dir, then ONE directory rename publishes it as index/epoch=N —
+    queries never see a partially-written epoch, and a crashed append
+    leaves only an invisible staging dir."""
+    import shutil
+    import uuid
+
+    staged = os.path.join(root, f".epoch-{epoch}-{uuid.uuid4().hex[:8]}.staged")
+    try:
+        idx.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
+        os.makedirs(os.path.join(root, "index"), exist_ok=True)
+        final = os.path.join(root, "index", f"epoch={epoch}")
+        if os.path.exists(final):
+            raise FileExistsError(f"epoch dir already exists: {final}")
+        os.rename(staged, final)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def build_lsh_index(
     df: DataFrame, root: str, dim: int, nbits: int = 16, tables: int = 4,
     seed: int = 7, n_pfx: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    append: bool = False, fingerprint: str | None = None,
 ) -> dict:
     """Build + persist a multi-table random-hyperplane index.
 
     One corpus pass computes every table's signatures; the write is
-    partitioned by (t, pfx) and sorted by bucket within partitions so
-    queries prune directories first, then row groups. Size (nbits,
-    tables) with similarity.ann_params. Returns the manifest."""
+    partitioned by (epoch, t, pfx) and sorted by bucket within
+    partitions so queries prune directories first, then row groups.
+    Size (nbits, tables) with similarity.ann_params.
+
+    ``append=True`` indexes ONLY ``df`` (the new vectors) as a new
+    epoch — build cost proportional to the appended slice, not the
+    corpus; queries read every epoch transparently (epoch is just a
+    leading partition directory). Params must match the manifest
+    exactly; pass ``fingerprint`` (e.g. scan.units_fingerprint of the
+    appended files) to record what each epoch indexed and refuse
+    double-appends. Returns the manifest."""
     n_pfx = int(min(1 << nbits, n_pfx or 256))
-    planes_by_t = [_hyperplanes(dim, nbits, seed + 1009 * t) for t in range(tables)]
-    rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col)
-    idx = rows.withColumn("pfx", F.col("bucket").bitwiseAND(F.lit(n_pfx - 1)))
-    (
-        idx.repartition("t", "pfx")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .partitionBy("t", "pfx")
-        .parquet(os.path.join(root, "index"))
-    )
-    meta = {
-        "format": FORMAT_VERSION,
+    params = {
         "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
         "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
     }
+    if append:
+        meta, epoch = _next_epoch(root, params, fingerprint)
+    else:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "index"), ignore_errors=True)
+        meta = {"format": FORMAT_VERSION, **params, "epochs": []}
+        epoch = 0
+    planes_by_t = [_hyperplanes(dim, nbits, seed + 1009 * t) for t in range(tables)]
+    rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col)
+    idx = rows.withColumn("pfx", F.col("bucket").bitwiseAND(F.lit(n_pfx - 1)))
+    _write_epoch(
+        idx.repartition("t", "pfx").sortWithinPartitions("bucket"),
+        root, epoch, ["t", "pfx"],
+    )
+    meta["epochs"] = meta.get("epochs", []) + [
+        {"epoch": epoch, "fingerprint": fingerprint}
+    ]
     _write_manifest(root, meta)
     return meta
 
@@ -190,15 +262,38 @@ def build_ivf_index(
     df: DataFrame, root: str, dim: int, n_centroids: int = 64,
     sample: int = 8192, iters: int = 10, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    append: bool = False, fingerprint: str | None = None,
 ) -> dict:
     """Train the coarse quantizer (one bounded-sample pass), assign the
-    corpus (one pass), persist partitioned by list_id. Queries scan
-    nprobe/n_centroids of the data — the IVF contract."""
+    corpus (one pass), persist partitioned by (epoch, list_id). Queries
+    scan nprobe/n_centroids of the data — the IVF contract.
+
+    ``append=True`` assigns ONLY ``df`` with the STORED centroids (the
+    quantizer is fixed at build time — retraining would orphan prior
+    epochs' assignments) and publishes it as a new epoch; params must
+    match the manifest, and an already-indexed ``fingerprint`` is
+    refused."""
     from .. import _ship
 
     _ship.ensure(df.sparkSession)
-    cents = ivf_centroids(df, dim, n_centroids, sample, iters, id_col, vec_col, seed)
-    cent = np.ascontiguousarray(cents, dtype=np.float32)
+    params = {
+        "kind": "ivf", "dim": dim, "seed": seed,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    if append:
+        meta, epoch = _next_epoch(root, {**params, "n_centroids": n_centroids}, fingerprint)
+        cent = np.load(os.path.join(root, "centroids.npy"))
+    else:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "index"), ignore_errors=True)
+        epoch = 0
+        cents = ivf_centroids(df, dim, n_centroids, sample, iters, id_col, vec_col, seed)
+        cent = np.ascontiguousarray(cents, dtype=np.float32)
+        meta = {
+            "format": FORMAT_VERSION, **params,
+            "n_centroids": int(cent.shape[0]), "epochs": [],
+        }
     sel = df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -213,19 +308,16 @@ def build_ivf_index(
             )
 
     rows = sel.mapInArrow(kernel, "id long, list_id int, vec array<float>")
-    (
-        rows.repartition("list_id")
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(os.path.join(root, "index"))
-    )
-    os.makedirs(root, exist_ok=True)
-    np.save(os.path.join(root, "centroids.npy"), cent)
-    meta = {
-        "format": FORMAT_VERSION,
-        "kind": "ivf", "dim": dim, "n_centroids": int(cent.shape[0]),
-        "seed": seed, "id_col": id_col, "vec_col": vec_col,
-    }
+    if not append:
+        # centroids land BEFORE the epoch data: the manifest is written
+        # last either way, so no ordering leaves a loadable-but-broken
+        # index behind
+        os.makedirs(root, exist_ok=True)
+        np.save(os.path.join(root, "centroids.npy"), cent)
+    _write_epoch(rows.repartition("list_id"), root, epoch, ["list_id"])
+    meta["epochs"] = meta.get("epochs", []) + [
+        {"epoch": epoch, "fingerprint": fingerprint}
+    ]
     _write_manifest(root, meta)
     return meta
 

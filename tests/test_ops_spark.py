@@ -706,3 +706,84 @@ def test_chargram_dedup_end_to_end_no_space_corpus(spark, docs):
     losers = {x for x in all_ids if find(x) != x}
     assert kept == all_ids - losers
     nospace.unpersist()
+
+
+def test_ann_index_append_epochs(spark, embeddings, tmp_path):
+    """Appending a corpus slice must cost one epoch write (only the
+    new vectors are signed/assigned), queries must see ALL epochs, and
+    the manifest must refuse changed params, double-appended
+    fingerprints, and appends to pre-epoch (format-1) indexes."""
+    import glob
+
+    from chimp_spark.ops import ann_index
+
+    rows, planted = _planted_corpus(embeddings)
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(rows[half:], "vec_id long, embedding array<float>")
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    root = str(tmp_path / "lsh_app")
+    params = similarity.ann_params(len(rows), target_bucket=64)
+    ann_index.build_lsh_index(df1, root, dim=64, nbits=params["nbits"],
+                              tables=params["tables"], fingerprint="slice-1")
+    meta = ann_index.build_lsh_index(
+        df2, root, dim=64, nbits=params["nbits"], tables=params["tables"],
+        append=True, fingerprint="slice-2",
+    )
+    assert [e["epoch"] for e in meta["epochs"]] == [0, 1]
+    assert sorted(glob.glob(os.path.join(root, "index", "epoch=*"))) == [
+        os.path.join(root, "index", "epoch=0"),
+        os.path.join(root, "index", "epoch=1"),
+    ]
+
+    # recall across epochs: planted neighbors live in BOTH halves
+    hits = want = 0
+    for qi, _ids in planted.items():
+        q = rows[qi][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(full, q, k=4).collect()]
+        ann = [r["vec_id"] for r in
+               ann_index.lsh_index_topk(spark, root, q, k=4).collect()]
+        hits += len(set(exact) & set(ann))
+        want += 4
+    assert hits / want >= 0.9, f"append-lsh recall {hits}/{want}"
+
+    # refusals
+    with pytest.raises(ValueError, match="param"):
+        ann_index.build_lsh_index(df2, root, dim=64, nbits=params["nbits"] + 1,
+                                  tables=params["tables"], append=True)
+    with pytest.raises(ValueError, match="already indexed"):
+        ann_index.build_lsh_index(df2, root, dim=64, nbits=params["nbits"],
+                                  tables=params["tables"], append=True,
+                                  fingerprint="slice-2")
+
+    # IVF: quantizer trained on slice 1, slice 2 assigned with the
+    # STORED centroids — a centroid file byte-diff would break epoch 0
+    ivf_root = str(tmp_path / "ivf_app")
+    ann_index.build_ivf_index(df1, ivf_root, dim=64, n_centroids=16)
+    cent_before = open(os.path.join(ivf_root, "centroids.npy"), "rb").read()
+    ann_index.build_ivf_index(df2, ivf_root, dim=64, n_centroids=16, append=True)
+    assert open(os.path.join(ivf_root, "centroids.npy"), "rb").read() == cent_before
+    hits = want = 0
+    for qi, _ids in planted.items():
+        q = rows[qi][1]
+        exact = [r["vec_id"] for r in similarity.cosine_topk(full, q, k=4).collect()]
+        ann = [r["vec_id"] for r in
+               ann_index.ivf_index_topk(spark, ivf_root, q, k=4, nprobe=4).collect()]
+        hits += len(set(exact) & set(ann))
+        want += 4
+    assert hits / want >= 0.9, f"append-ivf recall {hits}/{want}"
+
+    # format-1 index (no epochs key): append refused with guidance
+    import json as _json
+
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    _json.dump({"format": 1, "kind": "lsh", "dim": 64, "nbits": params["nbits"],
+                "tables": params["tables"], "seed": 7, "n_pfx": 256,
+                "id_col": "vec_id", "vec_col": "embedding"},
+               open(os.path.join(legacy, "ann_index.json"), "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        ann_index.build_lsh_index(df2, legacy, dim=64, nbits=params["nbits"],
+                                  tables=params["tables"], append=True)
+    full.unpersist()
