@@ -1,0 +1,88 @@
+"""End-to-end training-corpus preparation: the composition every
+large-scale data pipeline runs, built from the engine's own ops.
+
+    raw documents
+      -> exact dedup          (128-bit hash keys, one shuffle)
+      -> near-dup dedup       (MinHash -> LSH bands -> verify ->
+                               connected components -> keep min id)
+      -> quality + language   (narrow Catalyst filters)
+      -> split assignment     (deterministic md5 intervals — append
+                               stable, engine-reproducible)
+      -> encode + commit      (EncodedTable snapshot, chunk lineage,
+                               partition-granular RESUME)
+
+Every stage is deterministic, so the whole pipeline is reproducible
+and auditable: rerunning yields the same surviving ids, the same
+splits, and (via the manifest) resumes the encode instead of redoing
+it. Stage counts are returned for pipeline observability — a 100 TB
+run tracks shrinkage per stage, not just the final row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import sample as S
+from . import text as T
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    df: DataFrame,
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.9,
+    min_quality: float = 0.0,
+    langs: list[str] | None = None,
+    split_weights: dict[str, float] | None = None,
+    table_name: str = "documents",
+    chunk_rows: int = 65_536,
+    resume: bool = True,
+    encode_columns: list[str] | None = None,
+) -> dict:
+    """Run the full preparation chain and commit the encoded corpus to
+    ``out_root`` (an EncodedTable root). Returns per-stage counts plus
+    the commit stats.
+
+    The dedup/filter/split stages are deterministic transformations —
+    rerunning them reproduces the same surviving set, so resume only
+    needs to exist where the expensive, stateful work happens: the
+    encode commit (partition-granular via the table snapshot).
+
+    ``langs`` filters on the engine's own ``lang_id`` prediction (not a
+    trusted input column); ``min_quality`` on ``quality_score``. Both
+    default to keeping everything.
+    """
+    from .. import engine
+
+    counts: dict[str, int] = {"input": df.count()}
+
+    step = D.exact_dedup(df, [text_col])
+    counts["after_exact_dedup"] = step.count()
+
+    step = D.minhash_dedup(step, id_col, text_col, threshold=near_dup_threshold)
+    # cache: three downstream consumers (filter count, split, encode)
+    step = step.persist()
+    counts["after_near_dedup"] = step.count()
+
+    if min_quality > 0.0:
+        scored = T.quality_score(step, text_col)
+        step = scored.filter(F.col("quality") >= min_quality).select(*step.columns)
+    if langs:
+        pred = T.lang_id(step, text_col)
+        step = pred.filter(F.col("lang_pred").isin(langs)).select(*step.columns)
+    counts["after_filters"] = step.count()
+
+    weights = split_weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    step = S.train_test_split(step, weights, [id_col])
+
+    cols = (encode_columns or df.columns) + ["split"]
+    commit = engine.encode_and_commit(
+        spark, step.select(*cols), out_root, table_name,
+        chunk_rows=chunk_rows, resume=resume,
+    )
+    return {"counts": counts, "commit": commit, "columns": cols,
+            "weights": weights, "out_root": out_root}

@@ -58,3 +58,53 @@ def test_cli_scan_resume_refuses_changed_input(tmp_path):
     r2 = subprocess.run(args, capture_output=True, text=True, timeout=300, env=env)
     assert r2.returncode != 0
     assert "scan resume refused" in (r2.stderr + r2.stdout)
+
+
+def test_prepare_corpus_cli_end_to_end(tmp_path):
+    """Full corpus-prep job via two real interpreter runs: the first
+    dedups/filters/splits/encodes and commits; the second run RESUMES
+    (0 new partitions). The committed table decodes to a corpus with
+    zero duplicate texts and full split coverage."""
+    import json
+
+    JOB2 = "/root/repo/jobs/prepare_corpus.py"
+    out = str(tmp_path / "corpus")
+    args = [sys.executable, JOB2,
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--min-quality", "0.2"]
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(args, capture_output=True, text=True, timeout=600, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    stats = json.loads(r1.stdout.strip().splitlines()[-1])
+    c = stats["counts"]
+    assert c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"] >= c["after_filters"] > 0
+    assert stats["commit"]["partitions"] > 0
+
+    r2 = subprocess.run(args, capture_output=True, text=True, timeout=600, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats2["commit"]["partitions"] == 0  # resumed
+    assert stats2["commit"].get("resumed") is True
+
+    # decode the committed corpus and check pipeline invariants
+    from pyspark.sql import functions as F
+
+    from chimp_spark import engine
+
+    spark = engine.get_spark(cpus=4, app="prep_check", chunk_rows=4096)
+    try:
+        t = engine.EncodedTable(out)
+        cols = ["doc_id", "text", "split"]
+        dec = spark_df = engine.decode_table(
+            t.read(spark), cols, "doc_id long, text string, split string",
+            verify_checksums=True,
+        ).cache()
+        n = dec.count()
+        assert n == c["after_filters"]
+        assert dec.select("text").distinct().count() == n  # no dup texts
+        assert {r["split"] for r in dec.select("split").distinct().collect()} <= {
+            "train", "valid", "test"
+        }
+        dec.unpersist()
+    finally:
+        spark.stop()
