@@ -42,6 +42,7 @@ def prepare_corpus(
     chunk_rows: int = 65_536,
     resume: bool = True,
     encode_columns: list[str] | None = None,
+    stage_counts: bool = True,
 ) -> dict:
     """Run the full preparation chain and commit the encoded corpus to
     ``out_root`` (an EncodedTable root). Returns per-stage counts plus
@@ -55,18 +56,29 @@ def prepare_corpus(
     ``langs`` filters on the engine's own ``lang_id`` prediction (not a
     trusted input column); ``min_quality`` on ``quality_score``. Both
     default to keeping everything.
+
+    ``stage_counts=True`` records per-stage survivor counts. Each
+    intermediate count materializes that stage once more, so a run that
+    only needs the output can pass ``stage_counts=False`` and pay a
+    single count (used to size the encode layout) over the final set.
     """
     from .. import engine
 
-    counts: dict[str, int] = {"input": df.count()}
+    counts: dict[str, int] = {}
+    if stage_counts:
+        counts["input"] = df.count()
 
     step = D.exact_dedup(df, [text_col])
-    counts["after_exact_dedup"] = step.count()
+    if stage_counts:
+        # persist: feeds both this count and the minhash chain below
+        step = step.persist()
+        counts["after_exact_dedup"] = step.count()
 
     step = D.minhash_dedup(step, id_col, text_col, threshold=near_dup_threshold)
-    # cache: three downstream consumers (filter count, split, encode)
+    # persist: consumed by the count, the filters, and the encode
     step = step.persist()
-    counts["after_near_dedup"] = step.count()
+    if stage_counts:
+        counts["after_near_dedup"] = step.count()
 
     if min_quality > 0.0:
         scored = T.quality_score(step, text_col)
@@ -74,15 +86,28 @@ def prepare_corpus(
     if langs:
         pred = T.lang_id(step, text_col)
         step = pred.filter(F.col("lang_pred").isin(langs)).select(*step.columns)
-    counts["after_filters"] = step.count()
+    n_out = step.count()
+    counts["after_filters"] = n_out
 
     weights = split_weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
     step = S.train_test_split(step, weights, [id_col])
 
+    # Encode chunking is per physical partition: left on the dedup
+    # output's shuffle layout, a 100 TB run would commit millions of
+    # near-empty chunks (metadata blowup) or, worse, few giant ones.
+    # Repartition to ~chunk_rows rows per partition by HASH of the id
+    # (xxhash64 of the value — a pure function of the data and n_parts,
+    # so a rerun reproduces the same layout and the manifest's
+    # partition-granular resume stays sound; round-robin repartition(n)
+    # would not survive a rerun).
+    n_parts = max(1, -(-n_out // chunk_rows))
     cols = (encode_columns or df.columns) + ["split"]
+    step = step.select(*cols).repartition(n_parts, F.xxhash64(F.col(id_col)))
+
     commit = engine.encode_and_commit(
-        spark, step.select(*cols), out_root, table_name,
+        spark, step, out_root, table_name,
         chunk_rows=chunk_rows, resume=resume,
     )
     return {"counts": counts, "commit": commit, "columns": cols,
-            "weights": weights, "out_root": out_root}
+            "weights": weights, "out_root": out_root,
+            "encode_partitions": n_parts}

@@ -39,6 +39,9 @@ def main() -> None:
     p.add_argument("--split", default="train=0.8,valid=0.1,test=0.1")
     p.add_argument("--chunk-rows", type=int, default=65_536)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-stage-counts", action="store_true",
+                   help="skip per-stage survivor counts (one less "
+                        "materialization of each dedup stage)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,6 +68,7 @@ def main() -> None:
             table_name=args.table,
             chunk_rows=args.chunk_rows,
             resume=not args.no_resume,
+            stage_counts=not args.no_stage_counts,
         )
         print(json.dumps(stats))
     finally:

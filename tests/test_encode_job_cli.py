@@ -79,6 +79,11 @@ def test_prepare_corpus_cli_end_to_end(tmp_path):
     c = stats["counts"]
     assert c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"] >= c["after_filters"] > 0
     assert stats["commit"]["partitions"] > 0
+    # encode layout is sized by chunk_rows, not inherited from the
+    # dedup shuffle: 477 surviving docs / 65536 -> exactly 1 partition
+    assert stats["commit"]["partitions"] == stats["encode_partitions"] == (
+        (c["after_filters"] + 65_535) // 65_536
+    )
 
     r2 = subprocess.run(args, capture_output=True, text=True, timeout=600, env=env)
     assert r2.returncode == 0, r2.stderr[-2000:]
