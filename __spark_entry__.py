@@ -15,9 +15,10 @@ rows-only check — BY DESIGN, not correctness debt (r2 judge note):
 ``ivf_ann_topk_embeddings``, ``ivf_ann_batch_topk_embeddings``
 (approximate/signature algorithms),
 ``compression_summary_lineitem`` (engine-internal metrics), and
-``pages_pipeline_invariant`` / ``corpus_prep_invariant``
-(self-checking invariants, every violation column must be 0).
-Everything else — 37 of 46 queries — is oracle-checked,
+``pages_pipeline_invariant`` / ``corpus_prep_invariant`` /
+``pack_invariant_documents`` (self-checking invariants, every
+violation column must be 0).
+Everything else — 40 of 50 queries — is oracle-checked,
 including BOTH end-to-end near-dup corpus dedups (word-level MinHash
 and character-level chargram, each against a recursive-CTE transitive
 closure) and the deterministic sampling/split subsets.
@@ -220,6 +221,48 @@ def _cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, q, k=5).select("vec_id")
 
 
+_CHUNK_ORACLE = """
+SELECT doc_id,
+       CAST(t.i / 80 AS INTEGER) AS chunk_id,
+       substring(text, CAST(t.i + 1 AS INTEGER), 100) AS chunk
+FROM documents, UNNEST(generate_series(0, length(text) - 1, 80)) AS t(i)
+"""
+
+# eval set = docs with doc_id % 25 == 0; per-doc DISTINCT 8-grams on
+# both sides (matches array_distinct before the broadcast join)
+_DECONTAM_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, CAST(t.i AS INTEGER),
+                                    CAST(t.i + 7 AS INTEGER)), ' ') AS g
+  FROM w, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+),
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
+SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS hits
+FROM grams JOIN eg USING (g)
+GROUP BY grams.doc_id
+"""
+
+# same IEEE double arithmetic as the Spark side: float element / double
+# scale; both engines round half away from zero; codes are exact ints
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, embedding,
+         CASE WHEN amax > 0 THEN CAST(amax AS DOUBLE) / CAST(127 AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) END AS scale
+  FROM s
+)
+SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS idx,
+       CAST(round(embedding[CAST(t.i AS INTEGER)] / scale) AS INTEGER) AS qv
+FROM sc, UNNEST(generate_series(1, len(embedding))) AS t(i)
+"""
+
 _COSINE_ORACLE = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
 SELECT e.vec_id
@@ -324,6 +367,65 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("split").isin("train", "valid", "test"), 0).otherwise(1)
         ).alias("bad_splits"),
         F.lit(0 if layout_ok else 1).alias("layout_violations"),
+    )
+
+
+def _chunk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows per document (pure
+    Catalyst sequence/explode/substring — map-only at any scale)."""
+    from chimp_spark.ops import chunking
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, size=100, stride=80)
+
+
+def _decontam_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc count of distinct word
+    8-grams shared with a planted eval set (docs with doc_id % 25 == 0
+    double as the held-out benchmark, so they must self-hit). Eval
+    grams broadcast; the corpus never shuffles."""
+    from chimp_spark.ops import decontam
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    return decontam.contamination_hits(docs, eval_df, n=8)
+
+
+def _quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization, exploded to integer
+    codes (exact — float scale arithmetic is identical IEEE doubles in
+    both engines, codes are integers)."""
+    from chimp_spark.ops import quantize
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = quantize.quantize_embeddings(emb, bits=8)
+    e = q.select("vec_id", F.posexplode("q"))
+    return e.select("vec_id", F.col("pos").alias("idx"), F.col("col").alias("qv"))
+
+
+def _pack_invariant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (rows-only self-check: packing order is
+    an implementation choice, but its INVARIANTS are not). Violation
+    columns must be 0: every doc packed exactly once; no multi-doc
+    pack exceeds the budget; no pack is empty."""
+    from chimp_spark.ops import chunking
+    from chimp_spark.ops import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    lens = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    packed = chunking.pack_sequences(lens, budget=512, num_partitions=8)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("docs")
+    )
+    n_in = lens.count()
+    return per_pack.agg(
+        F.count("*").alias("packs"),
+        F.sum("docs").alias("docs_packed"),
+        (F.lit(n_in) - F.sum("docs")).alias("missing_docs"),
+        F.sum(
+            F.when((F.col("tot") > 512) & (F.col("docs") > 1), 1).otherwise(0)
+        ).alias("over_budget_violations"),
+        F.sum(F.when(F.col("docs") < 1, 1).otherwise(0)).alias("empty_packs"),
     )
 
 
@@ -815,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chargram_dedup_keep_documents": _chargram_dedup_keep_q,
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
+        "chunk_documents_documents": _chunk_docs_q,
+        "decontam_hits_documents": _decontam_hits_q,
+        "quantize_embeddings_int8": _quantize_q,
         # rows-only (no SQL equivalent)
         "simhash_dups_documents": _simhash_dups,
         "chargram_fp_documents": _chargram_fp_q,
@@ -826,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary_lineitem": _compression_summary_q,
         "pages_pipeline_invariant": _pages_invariant,
         "corpus_prep_invariant": _corpus_prep_q,
+        "pack_invariant_documents": _pack_invariant_q,
     }
     return {name: _shipped(fn) for name, fn in q.items()}
 
@@ -872,4 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_documents": _TEXT_STATS_ORACLE,
         "cosine_topk_embeddings": _COSINE_ORACLE,
         "lang_id_documents": _lang_id_oracle(),
+        "chunk_documents_documents": _CHUNK_ORACLE,
+        "decontam_hits_documents": _DECONTAM_ORACLE,
+        "quantize_embeddings_int8": _QUANTIZE_ORACLE,
     }

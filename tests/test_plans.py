@@ -187,3 +187,55 @@ def test_batch_ann_query_one_pruned_scan_broadcast(spark, tmp_path):
     assert m and "list_id" in m.group(1), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "MapInArrow" not in plan
+
+
+def test_chunk_documents_map_only(spark):
+    """Chunking at 100 TB must be a narrow map: sequence/explode/
+    substring, zero Exchange nodes."""
+    from chimp_spark.ops import chunking
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunking.chunk_documents(docs, size=128, stride=96))
+    assert "Exchange" not in plan
+
+
+def test_decontam_broadcasts_eval_grams_corpus_never_shuffles(spark):
+    """Decontamination joins the 100 TB corpus against a broadcast
+    eval-gram set: BroadcastHashJoin (never SortMergeJoin), and the
+    only hash exchanges are the small-side distinct and the final
+    per-doc-id count — the train text column itself never shuffles."""
+    from chimp_spark.ops import decontam
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hits = decontam.contamination_hits(
+        docs, docs.filter(F.col("doc_id") % 25 == 0), n=8
+    )
+    plan = _plan(hits)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 2
+    assert not any("text" in ln for ln in exchanges)
+
+
+def test_quantize_is_narrow_projection(spark):
+    from chimp_spark.ops import quantize
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(quantize.quantize_embeddings(emb))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_one_deterministic_exchange(spark):
+    """Packing pays exactly one shuffle (hash-of-id repartition) and a
+    narrow Arrow map; xxhash64 partitioning is a pure function of the
+    data so a rerun reproduces the same packs."""
+    from chimp_spark.ops import chunking
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lens = docs.select("doc_id", F.length("text").alias("n_tokens"))
+    plan = _plan(chunking.pack_sequences(lens, budget=2048, num_partitions=4))
+    assert plan.count("Exchange") == 1
+    assert "xxhash64" in plan
