@@ -6,6 +6,8 @@ large-scale data pipeline runs, built from the engine's own ops.
       -> near-dup dedup       (MinHash -> LSH bands -> verify ->
                                connected components -> keep min id)
       -> quality + language   (narrow Catalyst filters)
+      -> decontamination      (optional: n-gram overlap vs a held-out
+                               eval set, eval grams broadcast)
       -> split assignment     (deterministic md5 intervals — append
                                stable, engine-reproducible)
       -> encode + commit      (EncodedTable snapshot, chunk lineage,
@@ -37,6 +39,8 @@ def prepare_corpus(
     near_dup_threshold: float = 0.9,
     min_quality: float = 0.0,
     langs: list[str] | None = None,
+    eval_df: DataFrame | None = None,
+    decontam_ngram: int = 8,
     split_weights: dict[str, float] | None = None,
     table_name: str = "documents",
     chunk_rows: int = 65_536,
@@ -55,7 +59,10 @@ def prepare_corpus(
 
     ``langs`` filters on the engine's own ``lang_id`` prediction (not a
     trusted input column); ``min_quality`` on ``quality_score``. Both
-    default to keeping everything.
+    default to keeping everything. ``eval_df`` (id + text of a held-out
+    benchmark set) enables decontamination: train docs sharing any
+    ``decontam_ngram``-gram with the eval set are dropped before the
+    split (the eval grams broadcast; the corpus never shuffles).
 
     ``stage_counts=True`` records per-stage survivor counts. Each
     intermediate count materializes that stage once more, so a run that
@@ -86,8 +93,16 @@ def prepare_corpus(
     if langs:
         pred = T.lang_id(step, text_col)
         step = pred.filter(F.col("lang_pred").isin(langs)).select(*step.columns)
+    if eval_df is not None:
+        if stage_counts:
+            counts["after_filters"] = step.count()
+        from . import decontam as DC
+
+        step = DC.decontaminate(
+            step, eval_df, id_col, text_col, n=decontam_ngram
+        )
     n_out = step.count()
-    counts["after_filters"] = n_out
+    counts["after_filters" if eval_df is None else "after_decontam"] = n_out
 
     weights = split_weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
     step = S.train_test_split(step, weights, [id_col])

@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--near-dup-threshold", type=float, default=0.9)
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--langs", default=None, help="comma-separated lang_id predictions to keep")
+    p.add_argument("--eval-input", default=None,
+                   help="parquet of held-out eval docs (id + text cols); enables "
+                        "n-gram decontamination against it")
+    p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--split", default="train=0.8,valid=0.1,test=0.1")
     p.add_argument("--chunk-rows", type=int, default=65_536)
     p.add_argument("--no-resume", action="store_true")
@@ -64,6 +68,9 @@ def main() -> None:
             near_dup_threshold=args.near_dup_threshold,
             min_quality=args.min_quality,
             langs=args.langs.split(",") if args.langs else None,
+            eval_df=(spark.read.parquet(args.eval_input)
+                     if args.eval_input else None),
+            decontam_ngram=args.decontam_ngram,
             split_weights=weights,
             table_name=args.table,
             chunk_rows=args.chunk_rows,

@@ -176,3 +176,26 @@ def test_quantized_lists_compress_4x_through_engine(spark, embeddings):
     ok = dec.selectExpr("hash(q) h").agg(F.sum("h")).collect()
     base = q.selectExpr("hash(q) h").agg(F.sum("h")).collect()
     assert ok == base
+
+
+# ------------------------------------------------------------- pipeline
+
+def test_prepare_corpus_with_decontam_stage(spark, docs, tmp_path):
+    """Pipeline with an eval set: planted eval docs (copies of corpus
+    docs) are dropped before the split; counts expose the stage."""
+    from chimp_spark.ops import decontam
+    from chimp_spark.ops.pipeline import prepare_corpus
+
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    stats = prepare_corpus(
+        spark, docs, str(tmp_path / "corpus"), eval_df=eval_df,
+        chunk_rows=4096,
+    )
+    c = stats["counts"]
+    assert c["after_decontam"] < c["after_near_dedup"]
+    # the committed corpus has zero hits against the eval set
+    t = engine.EncodedTable(str(tmp_path / "corpus"))
+    dec = engine.decode_table(
+        t.read(spark), ["doc_id", "text"], "doc_id long, text string"
+    )
+    assert decontam.contamination_hits(dec, eval_df, n=8).count() == 0
