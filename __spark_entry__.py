@@ -359,7 +359,14 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout_ok = stats["commit"]["partitions"] in (0, n_parts_expected)
     return dec.agg(
         F.count("*").alias("rows"),
-        (F.count("*") - F.countDistinct("text")).alias("dup_texts"),
+        # null-safe distinct key: countDistinct("text") alone would
+        # ignore a null-text row and report a phantom duplicate
+        (
+            F.count("*")
+            - F.countDistinct(
+                F.coalesce(F.col("text"), F.lit("")), F.col("text").isNull()
+            )
+        ).alias("dup_texts"),
         F.when(
             F.lit(monotone) & (F.count("*") == F.lit(c["after_filters"])), 0
         ).otherwise(1).alias("count_violations"),

@@ -281,7 +281,19 @@ def build_ivf_index(
         "id_col": id_col, "vec_col": vec_col,
     }
     if append:
-        meta, epoch = _next_epoch(root, {**params, "n_centroids": n_centroids}, fingerprint)
+        # validate the REQUESTED centroid count, not the actual one:
+        # ivf_centroids clamps to the sample size, so an append issued
+        # with the exact same arguments as the original build must not
+        # be refused just because the stored count was clamped
+        stored = load_manifest(root)
+        stored_req = stored.get("n_centroids_requested", stored.get("n_centroids"))
+        if n_centroids != stored_req:
+            raise ValueError(
+                f"append refused: param n_centroids={n_centroids!r} != "
+                f"index's requested {stored_req!r} (an index's centroids "
+                f"are fixed at build time)"
+            )
+        meta, epoch = _next_epoch(root, params, fingerprint)
         cent = np.load(os.path.join(root, "centroids.npy"))
     else:
         import shutil
@@ -292,7 +304,8 @@ def build_ivf_index(
         cent = np.ascontiguousarray(cents, dtype=np.float32)
         meta = {
             "format": FORMAT_VERSION, **params,
-            "n_centroids": int(cent.shape[0]), "epochs": [],
+            "n_centroids": int(cent.shape[0]),
+            "n_centroids_requested": n_centroids, "epochs": [],
         }
     sel = df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
 
@@ -393,6 +406,10 @@ def _collect_queries(
     seen = set()
     for r in rows:
         qid, vec = r[0], r[1]
+        if qid is None:
+            # a NULL qid would silently vanish in the probe equi-joins
+            # (SQL null equality) instead of erroring
+            raise ValueError("query batch contains a NULL query id")
         if qid in seen:
             raise ValueError(f"duplicate query id {qid!r} in batch")
         seen.add(qid)
@@ -451,10 +468,21 @@ def lsh_index_topk_batch(
     qrows = _collect_queries(queries, qid_col, vec_col, meta["dim"])
     if not qrows:
         raise ValueError("empty query batch")
+    # one signature matmul per TABLE for the whole batch — per-query
+    # _lsh_probes would regenerate every table's hyperplane matrix Q
+    # times on the driver
+    nbits = meta["nbits"]
+    qmat = np.asarray([q for _, q in qrows], dtype=np.float32)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
     probe_rows: list[tuple] = []
-    for qid, q in qrows:
-        for t, ps in _lsh_probes(meta, q, multiprobe).items():
-            probe_rows.extend((qid, t, p) for p in ps)
+    for t in range(meta["tables"]):
+        planes = _hyperplanes(meta["dim"], nbits, meta["seed"] + 1009 * t)
+        sigs = ((qmat @ planes.T) > 0) @ weights
+        for (qid, _), qsig in zip(qrows, sigs):
+            probes = {int(qsig)}
+            if multiprobe >= 1:
+                probes |= {int(qsig) ^ (1 << b) for b in range(nbits)}
+            probe_rows.extend((qid, t, p) for p in sorted(probes))
     n_pfx = meta["n_pfx"]
     pfx_all = sorted({b & (n_pfx - 1) for _, _, b in probe_rows})
     idx = spark.read.parquet(os.path.join(root, "index")).filter(

@@ -82,6 +82,10 @@ def pack_sequences(
     -> input columns + ``pack_id`` (long), ``pack_pos`` (position of
     the doc within its pack).
     """
+    from .. import _ship
+
+    _ship.ensure(df.sparkSession)  # mapInArrow entry point: workers
+    # may unpickle the kernel by module reference
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )

@@ -104,6 +104,32 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def exact_dedup_canonical(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Deterministic exact dedup: keep the MIN-``id_col`` row per
+    distinct (cols) combination (same 128-bit hash key as
+    ``exact_dedup``).
+
+    ``exact_dedup``'s dropDuplicates keeps whichever copy the shuffle
+    happens to fetch first — fine for one-shot jobs, but a resumable
+    pipeline reruns its dedup stage on retry, and a DIFFERENT survivor
+    would land in a different partition/split than the one already
+    committed. The min-id pick is a pure function of the data, so a
+    rerun reproduces the surviving set exactly (the same canonical
+    rule minhash/chargram cluster resolution uses). Cost: the same
+    single hash-key shuffle; rows move once either way."""
+    from pyspark.sql import Window
+
+    null_flags = [F.col(c).isNull().cast("int") for c in cols]
+    w = Window.partitionBy(
+        F.xxhash64(*cols, *null_flags), F.xxhash64(F.lit("cs2"), *cols, *null_flags)
+    ).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 # ---------------------------------------------------------------------------

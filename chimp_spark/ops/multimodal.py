@@ -285,7 +285,10 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for b in batches:
             out_id, out_idx, out_ts, out_mean, out_std = [], [], [], [], []
             ids = b.column("media_id")
-            payloads = b.column("payload")
+            # cast pins int32 offsets: with useLargeVarTypes Spark
+            # delivers large_binary (int64 offsets) and a raw
+            # np.int32 view of that buffer would be garbage
+            payloads = b.column("payload").cast(pa.binary())
             ws = b.column("width")
             hs = b.column("height")
             durs = b.column("duration_ms")

@@ -72,18 +72,23 @@ def prepare_corpus(
     from .. import engine
 
     counts: dict[str, int] = {}
+    cached: list[DataFrame] = []
     if stage_counts:
         counts["input"] = df.count()
 
-    step = D.exact_dedup(df, [text_col])
+    # min-id canonical pick: deterministic across reruns, which the
+    # encode commit's partition-granular resume depends on
+    step = D.exact_dedup_canonical(df, id_col, [text_col])
     if stage_counts:
         # persist: feeds both this count and the minhash chain below
         step = step.persist()
+        cached.append(step)
         counts["after_exact_dedup"] = step.count()
 
     step = D.minhash_dedup(step, id_col, text_col, threshold=near_dup_threshold)
     # persist: consumed by the count, the filters, and the encode
     step = step.persist()
+    cached.append(step)
     if stage_counts:
         counts["after_near_dedup"] = step.count()
 
@@ -119,10 +124,16 @@ def prepare_corpus(
     cols = (encode_columns or df.columns) + ["split"]
     step = step.select(*cols).repartition(n_parts, F.xxhash64(F.col(id_col)))
 
-    commit = engine.encode_and_commit(
-        spark, step, out_root, table_name,
-        chunk_rows=chunk_rows, resume=resume,
-    )
+    try:
+        commit = engine.encode_and_commit(
+            spark, step, out_root, table_name,
+            chunk_rows=chunk_rows, resume=resume,
+        )
+    finally:
+        # dead the moment the commit lands — do not pin the corpus in
+        # executor storage for the rest of the session
+        for c in cached:
+            c.unpersist()
     return {"counts": counts, "commit": commit, "columns": cols,
             "weights": weights, "out_root": out_root,
             "encode_partitions": n_parts}

@@ -38,8 +38,14 @@ def quantize_embeddings(
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / qmax).otherwise(F.lit(1.0)).cast("double")
-    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
-    return df.withColumns({scale_col: scale, q_col: codes})
+    # materialize scale as a column FIRST: Catalyst does not hoist
+    # loop-invariant subexpressions out of higher-order-function
+    # lambdas, so referencing the scale EXPRESSION inside the
+    # per-element transform would re-evaluate array_max per element —
+    # O(dim^2) per row
+    out = df.withColumn(scale_col, scale)
+    codes = F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("int"))
+    return out.withColumn(q_col, codes)
 
 
 def dequantize_embeddings(

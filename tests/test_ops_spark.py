@@ -787,3 +787,52 @@ def test_ann_index_append_epochs(spark, embeddings, tmp_path):
         ann_index.build_lsh_index(df2, legacy, dim=64, nbits=params["nbits"],
                                   tables=params["tables"], append=True)
     full.unpersist()
+
+
+def test_exact_dedup_canonical_keeps_min_id(spark, docs):
+    """The resumable-pipeline variant must keep the MIN-id copy of
+    every duplicated text — a pure function of the data, unlike
+    dropDuplicates' shuffle-order survivor."""
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    kept = dedup.exact_dedup_canonical(doubled, "doc_id", ["text"])
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0  # min ids only
+    # rerun reproduces the exact surviving set
+    again = dedup.exact_dedup_canonical(doubled, "doc_id", ["text"])
+    assert kept.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_ivf_append_accepts_clamped_centroid_count(spark, embeddings, tmp_path):
+    """ivf_centroids clamps n_centroids to the sample size; an append
+    issued with the same arguments as the original build must succeed
+    even when the stored actual count is below the requested one."""
+    from chimp_spark.ops import ann_index
+
+    small = embeddings.limit(40).select("vec_id", "embedding")
+    root = str(tmp_path / "ivf_clamp")
+    meta = ann_index.build_ivf_index(small, root, dim=64, n_centroids=64,
+                                     fingerprint="s1")
+    assert meta["n_centroids"] < 64  # clamped by the 40-row sample
+    more = embeddings.limit(80).filter(F.col("vec_id") >= 40).select(
+        "vec_id", "embedding"
+    )
+    meta2 = ann_index.build_ivf_index(more, root, dim=64, n_centroids=64,
+                                      append=True, fingerprint="s2")
+    assert [e["epoch"] for e in meta2["epochs"]] == [0, 1]
+    # a genuinely different request is still refused
+    with pytest.raises(ValueError, match="append refused"):
+        ann_index.build_ivf_index(more, root, dim=64, n_centroids=32,
+                                  append=True, fingerprint="s3")
+
+
+def test_batch_ann_null_qid_rejected(spark, embeddings, tmp_path):
+    from chimp_spark.ops import ann_index
+
+    root = str(tmp_path / "lsh_null")
+    ann_index.build_lsh_index(embeddings, root, dim=64, nbits=6, tables=2)
+    qdf = embeddings.limit(3).select(
+        F.when(F.col("vec_id") == 1, None).otherwise(F.col("vec_id")).alias("qid"),
+        "embedding",
+    )
+    with pytest.raises(ValueError, match="NULL query id"):
+        ann_index.lsh_index_topk_batch(spark, root, qdf, k=3)
