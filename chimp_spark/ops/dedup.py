@@ -253,7 +253,10 @@ def minhash_signatures(
             ).cast(pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays([ids, sig_list], names=["id", "sig"])
 
-    return sel.mapInArrow(kernel, "id long, sig array<long>")
+    # id keeps the caller's type (urls are STRING keys in the
+    # north-rule pages shape, not just bigint doc_ids)
+    _idt = sel.schema[0].dataType.simpleString()
+    return sel.mapInArrow(kernel, f"id {_idt}, sig array<long>")
 
 
 def lsh_candidate_pairs(
@@ -458,6 +461,29 @@ def minhash_dedup(
     return dedup_keep_canonical(df, pairs, id_col)
 
 
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, n_docs: int | None = None,
+    words: int | None = None,
+) -> DataFrame:
+    """End-to-end SimHash near-dedup: signatures -> banded candidate
+    pairs -> exact Hamming verify -> connected components -> keep the
+    min-id document per cluster. The Hamming-distance counterpart of
+    ``minhash_dedup`` (cheaper signatures, coarser similarity) with
+    the same deterministic canonical rule.
+
+    Pass either ``words`` (the signature width, see
+    ``simhash_signatures``) or ``n_docs`` (corpus size; picks the
+    scale-appropriate width via ``simhash_params``)."""
+    if words is None:
+        if n_docs is None:
+            raise TypeError("simhash_dedup: pass words= or n_docs=")
+        words = simhash_params(n_docs, max_hamming)["words"]
+    sigs = simhash_signatures(df, id_col, text_col, words=words)
+    pairs = simhash_candidate_pairs(sigs, max_hamming=max_hamming, words=words)
+    return dedup_keep_canonical(df, pairs, id_col)
+
+
 def chargram_minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, num_hashes: int = 16,
@@ -538,7 +564,10 @@ def chargram_minhash_signatures(
                 names=["id", "fp"],
             )
 
-    return sel.mapInArrow(kernel, "id long, fp array<long>")
+    # id keeps the caller's type (urls are STRING keys in the
+    # north-rule pages shape, not just bigint doc_ids)
+    _idt = sel.schema[0].dataType.simpleString()
+    return sel.mapInArrow(kernel, f"id {_idt}, fp array<long>")
 
 
 def chargram_array(text_col: str, k: int = 8) -> F.Column:
@@ -660,7 +689,10 @@ def simhash_signatures(
             ).cast(pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays([ids, sig], names=["id", "simhash"])
 
-    return sel.mapInArrow(kernel, "id long, simhash array<long>")
+    # id keeps the caller's type (urls are STRING keys in the
+    # north-rule pages shape, not just bigint doc_ids)
+    _idt = sel.schema[0].dataType.simpleString()
+    return sel.mapInArrow(kernel, f"id {_idt}, simhash array<long>")
 
 
 def simhash_candidate_pairs(

@@ -199,3 +199,50 @@ def test_prepare_corpus_with_decontam_stage(spark, docs, tmp_path):
         t.read(spark), ["doc_id", "text"], "doc_id long, text string"
     )
     assert decontam.contamination_hits(dec, eval_df, n=8).count() == 0
+
+
+def test_chunk_documents_unicode_chars_not_bytes(spark):
+    """length/substring are CHARACTER-based in both Spark and the
+    DuckDB oracle: multi-byte text (CJK, emoji, combining marks) must
+    chunk by characters and rebuild exactly."""
+    texts = [
+        (1, "漢字テスト" * 7),        # CJK, 35 chars
+        (2, "café naïve — résumé " * 4),
+        (3, "\U0001f600\U0001f680" * 5 + "tail"),          # astral plane
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    ch = chunking.chunk_documents(df, size=8, stride=8)
+    back = {
+        r["doc_id"]: r["rebuilt"]
+        for r in ch.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("chunk")).alias("rebuilt"))
+        .collect()
+    }
+    for doc_id, text in texts:
+        assert back[doc_id] == text
+    # every chunk is at most `size` CHARACTERS
+    assert ch.filter(F.length("chunk") > 8).count() == 0
+
+
+def test_prepare_corpus_on_pages_table_string_ids(spark, tmp_path):
+    """The north-rule input shape: Common-Crawl-style pages keyed by
+    url (STRING ids). The pipeline's canonical dedup, hash splits and
+    hash-of-id encode layout must all work on string keys."""
+    from chimp_spark.ops.pipeline import prepare_corpus
+    from chimp_spark.pages import pages_df
+
+    pages = pages_df(spark, total_rows=2_000, num_partitions=4)
+    stats = prepare_corpus(
+        spark, pages.select("url", "text", "lang"), str(tmp_path / "pages"),
+        id_col="url", chunk_rows=4096, table_name="pages",
+    )
+    c = stats["counts"]
+    assert c["after_filters"] > 0
+    assert stats["commit"]["partitions"] == stats["encode_partitions"]
+    dec = engine.decode_table(
+        engine.EncodedTable(str(tmp_path / "pages")).read(spark),
+        ["url", "text", "split"], "url string, text string, split string",
+    )
+    assert dec.count() == c["after_filters"]
+    assert dec.select("url").distinct().count() == dec.count()

@@ -836,3 +836,18 @@ def test_batch_ann_null_qid_rejected(spark, embeddings, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL query id"):
         ann_index.lsh_index_topk_batch(spark, root, qdf, k=3)
+
+
+def test_simhash_dedup_end_to_end(spark, docs):
+    """The SimHash lane drops exact copies (Hamming 0) and keeps the
+    min-id canonical, including transitive chains."""
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    copies2 = docs.withColumn("doc_id", F.col("doc_id") + 20_000)
+    tripled = docs.unionAll(copies).unionAll(copies2)
+    kept = dedup.simhash_dedup(tripled, n_docs=1500, max_hamming=0)
+    n = docs.count()
+    # every synthetic copy is Hamming-0 with its base -> only base ids
+    # survive; the base corpus itself may shrink a little further where
+    # its PLANTED near-dups collide at 64 bits (that's the op working)
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+    assert 0.9 * n <= kept.count() <= n
