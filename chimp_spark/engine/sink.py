@@ -44,6 +44,7 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .core import colocate_chunks, ddl_arrow_types, iter_decoded_groups
 
@@ -183,10 +184,18 @@ def decode_to_parquet(
     row_group_rows: int = 1 << 20,
     mode: str = "error",
     with_row_ids: bool = True,
+    colocated: bool = False,
 ) -> dict:
     """Decode ``columns`` of an in-flight encoded DataFrame into a
     parquet directory (see module docstring for when to prefer the
     no-shuffle ``decode_table_to_parquet``).
+
+    ``colocated=True`` skips the co-location shuffle entirely: valid
+    when ``encoded`` is the DIRECT (possibly cached) output of one
+    ``encode_dataframe`` call, whose kernel emits every column's frame
+    of a chunk contiguously within the task — the frames are already
+    grouped. A mis-declared input fails loudly (each group checks it
+    holds ALL requested columns) rather than writing wrong data.
 
     Output schema: ``(part_id int32, row_id int64, *columns)`` (the
     alignment identity of the encode run) unless ``with_row_ids=False``
@@ -202,7 +211,13 @@ def decode_to_parquet(
 
     _ship.ensure(encoded.sparkSession)
     staged = _prepare_out_dir(out_dir, mode)
-    sel = colocate_chunks(encoded, columns)
+    if colocated:
+        sel = encoded.filter(F.col("column").isin(columns)).select(
+            "run_id", "part_id", "chunk_id", "row_start", "column",
+            "checksum", "frame",
+        )
+    else:
+        sel = colocate_chunks(encoded, columns)
     out_types = ddl_arrow_types(ddl)
     out_schema = _out_schema(columns, ddl, with_row_ids)
 

@@ -539,3 +539,38 @@ def test_decode_table_to_parquet_no_shuffle_sink(spark, tmp_path):
                     "l_shipdate")
     assert canon(written).exceptAll(src).isEmpty()
     assert src.exceptAll(canon(written)).isEmpty()
+
+
+def test_decode_to_parquet_colocated_fast_path(spark, tmp_path):
+    """colocated=True skips the co-location shuffle for encode-direct
+    DataFrames (frames of a chunk are emitted contiguously by the
+    encode kernel): output must be bit-identical to the shuffled path,
+    and a NON-colocated input must fail loudly, never write wrong data."""
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_orderkey", "l_extendedprice", "l_returnflag"]
+    ddl = "l_orderkey long, l_extendedprice double, l_returnflag string"
+    enc = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=4096,
+                                  table_name="lineitem").cache()
+    out_a = str(tmp_path / "shuffled")
+    out_b = str(tmp_path / "coloc")
+    engine.decode_to_parquet(enc, cols, ddl, out_a, verify_checksums=True)
+    res = engine.decode_to_parquet(enc, cols, ddl, out_b, verify_checksums=True,
+                                   colocated=True)
+    assert res["rows"] == df.count()
+
+    def canon(d):
+        return d.select(
+            "part_id", "row_id", "l_orderkey",
+            F.col("l_extendedprice").cast("string").alias("p"), "l_returnflag",
+        )
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert canon(a).exceptAll(canon(b)).isEmpty()
+    assert canon(b).exceptAll(canon(a)).isEmpty()
+
+    # a repartitioned (genuinely non-colocated) frame layout must raise
+    scrambled = enc.repartition(7)
+    with pytest.raises(Exception, match="lacks columns|needs all columns"):
+        engine.decode_to_parquet(scrambled, cols, ddl, str(tmp_path / "bad"),
+                                 colocated=True)
+    enc.unpersist()
