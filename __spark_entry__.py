@@ -18,7 +18,7 @@ rows-only check — BY DESIGN, not correctness debt (r2 judge note):
 ``pages_pipeline_invariant`` / ``corpus_prep_invariant`` /
 ``pack_invariant_documents`` (self-checking invariants, every
 violation column must be 0).
-Everything else — 40 of 50 queries — is oracle-checked,
+Everything else — 41 of 51 queries — is oracle-checked,
 including BOTH end-to-end near-dup corpus dedups (word-level MinHash
 and character-level chargram, each against a recursive-CTE transitive
 closure) and the deterministic sampling/split subsets.
@@ -221,6 +221,19 @@ def _cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, q, k=5).select("vec_id")
 
 
+_NGRAM_TOPK_ORACLE = """
+WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT array_to_string(list_slice(w, CAST(t.i AS INTEGER),
+                                    CAST(t.i + 1 AS INTEGER)), ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT 100
+"""
+
 _CHUNK_ORACLE = """
 SELECT doc_id,
        CAST(t.i / 80 AS INTEGER) AS chunk_id,
@@ -408,6 +421,19 @@ def _quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantize.quantize_embeddings(emb, bits=8)
     e = q.select("vec_id", F.posexplode("q"))
     return e.select("vec_id", F.col("pos").alias("idx"), F.col("col").alias("qv"))
+
+
+def _ngram_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams of the corpus (map-side-combinable count;
+    deterministic (cnt DESC, gram) cut)."""
+    from chimp_spark.ops import text as T
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        T.ngram_counts(docs, n=2)
+        .orderBy(F.desc("cnt"), "gram")
+        .limit(100)
+    )
 
 
 def _pack_invariant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": _text_stats,
         "cosine_topk_embeddings": _cosine_topk_q,
         "chunk_documents_documents": _chunk_docs_q,
+        "ngram_topk_documents": _ngram_topk_q,
         "decontam_hits_documents": _decontam_hits_q,
         "quantize_embeddings_int8": _quantize_q,
         # rows-only (no SQL equivalent)
@@ -986,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _COSINE_ORACLE,
         "lang_id_documents": _lang_id_oracle(),
         "chunk_documents_documents": _CHUNK_ORACLE,
+        "ngram_topk_documents": _NGRAM_TOPK_ORACLE,
         "decontam_hits_documents": _DECONTAM_ORACLE,
         "quantize_embeddings_int8": _QUANTIZE_ORACLE,
     }

@@ -79,6 +79,22 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.col(col) if isinstance(col, str) else col)
 
 
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Corpus word-n-gram frequencies -> (gram, cnt). The n-gram
+    generation is a narrow map (see ops/decontam.word_ngrams — whole
+    stage codegen, short-text guarded); the count is one map-side
+    combinable groupBy whose shuffle moves (gram, partial-count) pairs,
+    never documents. Top-k consumers should order by (cnt DESC, gram)
+    for a deterministic cut."""
+    from .decontam import word_ngrams
+
+    return (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic: argmax over per-language
     stopword ratios; 'und' (undetermined) when no list scores >0.
