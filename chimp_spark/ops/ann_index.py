@@ -76,10 +76,30 @@ def load_manifest(root: str) -> dict:
     return meta
 
 
+def _quantize_rows(mat: np.ndarray, qbits: int) -> tuple[pa.Array, pa.Array]:
+    """Symmetric per-row quantization of a dense (n, dim) matrix ->
+    (codes: fixed-size list<int8>, scales: float32). Cosine is
+    invariant to the positive per-row scale, so index ranking runs on
+    the CODES directly; scales are stored for reconstruction. Null
+    vectors were already rejected upstream by _dense_matrix."""
+    qmax = float((1 << (qbits - 1)) - 1)
+    amax = np.abs(mat).max(axis=1)
+    scale = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
+    codes = np.rint(mat / scale[:, None]).astype(np.int8)
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(codes.ravel(), pa.int8()), mat.shape[1]
+    ).cast(pa.list_(pa.int8()))
+    return fsl, pa.array(scale)
+
+
 def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
-                    id_col: str, vec_col: str) -> DataFrame:
-    """(t, id, bucket, vec) rows for every table's hyperplane set —
-    ONE corpus pass emits all tables (vs one scan per table)."""
+                    id_col: str, vec_col: str,
+                    qbits: int | None = None) -> DataFrame:
+    """(t, id, bucket, vec[, vscale]) rows for every table's
+    hyperplane set — ONE corpus pass emits all tables (vs one scan per
+    table). With ``qbits`` the stored vectors are int8 codes (4x
+    smaller index; signatures still come from the full-precision
+    input)."""
     from .. import _ship
 
     _ship.ensure(df.sparkSession)
@@ -93,20 +113,32 @@ def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
             ids = b.column(0)
             vecs = b.column(1)
             mat = _dense_matrix(vecs, dim, b.num_rows)
+            if qbits:
+                stored, scales = _quantize_rows(mat, qbits)
             for t, planes in enumerate(planes_all):
                 proj = mat @ planes.T
                 sig = ((proj > 0) @ weights).astype(np.int64)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.full(b.num_rows, t, dtype=np.int32)),
-                        ids,
-                        pa.array(sig),
-                        vecs,
-                    ],
-                    names=["t", "id", "bucket", "vec"],
-                )
+                cols = [
+                    pa.array(np.full(b.num_rows, t, dtype=np.int32)),
+                    ids,
+                    pa.array(sig),
+                ]
+                if qbits:
+                    yield pa.RecordBatch.from_arrays(
+                        cols + [stored, scales],
+                        names=["t", "id", "bucket", "vec", "vscale"],
+                    )
+                else:
+                    yield pa.RecordBatch.from_arrays(
+                        cols + [vecs], names=["t", "id", "bucket", "vec"]
+                    )
 
-    return sel.mapInArrow(kernel, "t int, id long, bucket long, vec array<float>")
+    _idt = sel.schema[0].dataType.simpleString()  # string url keys work too
+    if qbits:
+        out_ddl = f"t int, id {_idt}, bucket long, vec array<tinyint>, vscale float"
+    else:
+        out_ddl = f"t int, id {_idt}, bucket long, vec array<float>"
+    return sel.mapInArrow(kernel, out_ddl)
 
 
 def _next_epoch(
@@ -167,6 +199,7 @@ def build_lsh_index(
     seed: int = 7, n_pfx: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding",
     append: bool = False, fingerprint: str | None = None,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Build + persist a multi-table random-hyperplane index.
 
@@ -181,11 +214,22 @@ def build_lsh_index(
     leading partition directory). Params must match the manifest
     exactly; pass ``fingerprint`` (e.g. scan.units_fingerprint of the
     appended files) to record what each epoch indexed and refuse
-    double-appends. Returns the manifest."""
+    double-appends. Returns the manifest.
+
+    ``quantize_bits=8`` stores int8 codes instead of float32 vectors,
+    serving the SAME queries: cosine ranking is invariant to the
+    per-vector scale, so the query path runs on codes unchanged
+    (recall loses only the int8 rounding noise). Candidates scanned,
+    shuffled, and held in memory shrink 4x (ByteType vs FloatType);
+    on-disk parquet saves ~40% (parquet has no INT8 physical type —
+    codes ride as dictionary-encoded INT32). Signatures are still
+    computed from full-precision input. All epochs of an index share
+    the setting (validated on append)."""
     n_pfx = int(min(1 << nbits, n_pfx or 256))
     params = {
         "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
         "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
+        "quantize_bits": quantize_bits,
     }
     if append:
         meta, epoch = _next_epoch(root, params, fingerprint)
@@ -196,7 +240,8 @@ def build_lsh_index(
         meta = {"format": FORMAT_VERSION, **params, "epochs": []}
         epoch = 0
     planes_by_t = [_hyperplanes(dim, nbits, seed + 1009 * t) for t in range(tables)]
-    rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col)
+    rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col,
+                           qbits=quantize_bits)
     idx = rows.withColumn("pfx", F.col("bucket").bitwiseAND(F.lit(n_pfx - 1)))
     _write_epoch(
         idx.repartition("t", "pfx").sortWithinPartitions("bucket"),
@@ -263,6 +308,7 @@ def build_ivf_index(
     sample: int = 8192, iters: int = 10, seed: int = 7,
     id_col: str = "vec_id", vec_col: str = "embedding",
     append: bool = False, fingerprint: str | None = None,
+    quantize_bits: int | None = None,
 ) -> dict:
     """Train the coarse quantizer (one bounded-sample pass), assign the
     corpus (one pass), persist partitioned by (epoch, list_id). Queries
@@ -279,6 +325,7 @@ def build_ivf_index(
     params = {
         "kind": "ivf", "dim": dim, "seed": seed,
         "id_col": id_col, "vec_col": vec_col,
+        "quantize_bits": quantize_bits,
     }
     if append:
         # validate the REQUESTED centroid count, not the actual one:
@@ -308,6 +355,7 @@ def build_ivf_index(
             "n_centroids_requested": n_centroids, "epochs": [],
         }
     sel = df.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
+    qbits = quantize_bits
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -316,11 +364,23 @@ def build_ivf_index(
             mat = _dense_matrix(vecs, dim, b.num_rows)
             norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             assign = ((mat / norms) @ cent.T).argmax(axis=1).astype(np.int32)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(assign), vecs], names=["id", "list_id", "vec"]
-            )
+            if qbits:
+                stored, scales = _quantize_rows(mat, qbits)
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(assign), stored, scales],
+                    names=["id", "list_id", "vec", "vscale"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(assign), vecs], names=["id", "list_id", "vec"]
+                )
 
-    rows = sel.mapInArrow(kernel, "id long, list_id int, vec array<float>")
+    _idt = sel.schema[0].dataType.simpleString()
+    rows = sel.mapInArrow(
+        kernel,
+        f"id {_idt}, list_id int, vec array<tinyint>, vscale float"
+        if qbits else f"id {_idt}, list_id int, vec array<float>",
+    )
     if not append:
         # centroids land BEFORE the epoch data: the manifest is written
         # last either way, so no ordering leaves a loadable-but-broken
