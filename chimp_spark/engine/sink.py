@@ -200,8 +200,10 @@ def decode_to_parquet(
     Output schema: ``(part_id int32, row_id int64, *columns)`` (the
     alignment identity of the encode run) unless ``with_row_ids=False``
     strips the index columns. Shard count == shuffle partition count
-    of the co-location exchange; each shard's rows are ordered by
-    (run_id, part_id, chunk_id), i.e. encode order within the shard.
+    of the co-location exchange (or, with ``colocated=True``, the
+    encoded DataFrame's own partition count — the encode layout); each
+    shard's rows are ordered by (run_id, part_id, chunk_id), i.e.
+    encode order within the shard.
 
     Returns ``{"out_dir", "files", "rows", "bytes"}``. ``mode`` is
     ``"error"`` (refuse an existing non-empty out_dir) or
@@ -212,10 +214,7 @@ def decode_to_parquet(
     _ship.ensure(encoded.sparkSession)
     staged = _prepare_out_dir(out_dir, mode)
     if colocated:
-        sel = encoded.filter(F.col("column").isin(columns)).select(
-            "run_id", "part_id", "chunk_id", "row_start", "column",
-            "checksum", "frame",
-        )
+        sel = encoded.filter(F.col("column").isin(columns)).select(*_META_COLS)
     else:
         sel = colocate_chunks(encoded, columns)
     out_types = ddl_arrow_types(ddl)

@@ -1,1 +1,11 @@
-from . import ann_index, dedup, sample, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    ann_index,
+    chunking,
+    decontam,
+    dedup,
+    pipeline,
+    quantize,
+    sample,
+    similarity,
+    text,
+)

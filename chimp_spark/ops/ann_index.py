@@ -42,6 +42,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import id_ddl
 from .similarity import (
     _dense_matrix,
     _hyperplanes,
@@ -74,6 +75,21 @@ def load_manifest(root: str) -> dict:
             f"{FORMAT_VERSION}; rebuild or upgrade"
         )
     return meta
+
+
+def _norm_quantize_bits(quantize_bits: int | None) -> int | None:
+    """Validate + normalize the builder option: falsy -> None (so a
+    0/None mismatch can't refuse an equivalent append), and codes must
+    fit the int8 storage — bits outside [2, 8] would silently wrap
+    int8 (sign-flipped vectors, wrong neighbors, no error)."""
+    if not quantize_bits:
+        return None
+    if not 2 <= quantize_bits <= 8:
+        raise ValueError(
+            f"quantize_bits={quantize_bits}: must be in [2, 8] (codes are "
+            f"stored as int8)"
+        )
+    return int(quantize_bits)
 
 
 def _quantize_rows(mat: np.ndarray, qbits: int) -> tuple[pa.Array, pa.Array]:
@@ -133,7 +149,7 @@ def _sig_vec_kernel(df: DataFrame, dim: int, planes_by_t: list[np.ndarray],
                         cols + [vecs], names=["t", "id", "bucket", "vec"]
                     )
 
-    _idt = sel.schema[0].dataType.simpleString()  # string url keys work too
+    _idt = id_ddl(sel)  # string url keys work too
     if qbits:
         out_ddl = f"t int, id {_idt}, bucket long, vec array<tinyint>, vscale float"
     else:
@@ -226,6 +242,7 @@ def build_lsh_index(
     computed from full-precision input. All epochs of an index share
     the setting (validated on append)."""
     n_pfx = int(min(1 << nbits, n_pfx or 256))
+    quantize_bits = _norm_quantize_bits(quantize_bits)
     params = {
         "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
         "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
@@ -322,6 +339,7 @@ def build_ivf_index(
     from .. import _ship
 
     _ship.ensure(df.sparkSession)
+    quantize_bits = _norm_quantize_bits(quantize_bits)
     params = {
         "kind": "ivf", "dim": dim, "seed": seed,
         "id_col": id_col, "vec_col": vec_col,
@@ -375,7 +393,7 @@ def build_ivf_index(
                     [ids, pa.array(assign), vecs], names=["id", "list_id", "vec"]
                 )
 
-    _idt = sel.schema[0].dataType.simpleString()
+    _idt = id_ddl(sel)
     rows = sel.mapInArrow(
         kernel,
         f"id {_idt}, list_id int, vec array<tinyint>, vscale float"

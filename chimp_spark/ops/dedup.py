@@ -23,6 +23,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import id_ddl
+
 # deterministic 64-bit hash mixing constants (splitmix64)
 _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -253,9 +255,7 @@ def minhash_signatures(
             ).cast(pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays([ids, sig_list], names=["id", "sig"])
 
-    # id keeps the caller's type (urls are STRING keys in the
-    # north-rule pages shape, not just bigint doc_ids)
-    _idt = sel.schema[0].dataType.simpleString()
+    _idt = id_ddl(sel)
     return sel.mapInArrow(kernel, f"id {_idt}, sig array<long>")
 
 
@@ -564,9 +564,7 @@ def chargram_minhash_signatures(
                 names=["id", "fp"],
             )
 
-    # id keeps the caller's type (urls are STRING keys in the
-    # north-rule pages shape, not just bigint doc_ids)
-    _idt = sel.schema[0].dataType.simpleString()
+    _idt = id_ddl(sel)
     return sel.mapInArrow(kernel, f"id {_idt}, fp array<long>")
 
 
@@ -689,9 +687,7 @@ def simhash_signatures(
             ).cast(pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays([ids, sig], names=["id", "simhash"])
 
-    # id keeps the caller's type (urls are STRING keys in the
-    # north-rule pages shape, not just bigint doc_ids)
-    _idt = sel.schema[0].dataType.simpleString()
+    _idt = id_ddl(sel)
     return sel.mapInArrow(kernel, f"id {_idt}, simhash array<long>")
 
 

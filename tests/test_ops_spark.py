@@ -911,3 +911,23 @@ def test_quantized_ann_indexes_smaller_same_recall(spark, embeddings, tmp_path):
         # appends must match the quantization setting
         with pytest.raises(ValueError, match="append refused"):
             build(r_q, append=True, fingerprint="x")
+
+
+def test_quantize_bits_validated_and_normalized(spark, embeddings, tmp_path):
+    from chimp_spark.ops import ann_index
+
+    emb = embeddings.select("vec_id", "embedding")
+    with pytest.raises(ValueError, match=r"\[2, 8\]"):
+        ann_index.build_lsh_index(emb, str(tmp_path / "x"), dim=64, nbits=4,
+                                  tables=1, quantize_bits=16)
+    # falsy normalizes to None: an unquantized build + a quantize_bits=0
+    # append are the same configuration and must not be refused
+    root = str(tmp_path / "n")
+    ann_index.build_lsh_index(emb.limit(40), root, dim=64, nbits=4, tables=1,
+                              fingerprint="a")
+    meta = ann_index.build_lsh_index(
+        emb.filter(F.col("vec_id") >= 40).limit(40), root, dim=64, nbits=4,
+        tables=1, append=True, fingerprint="b", quantize_bits=0,
+    )
+    assert meta["quantize_bits"] is None
+    assert len(meta["epochs"]) == 2
