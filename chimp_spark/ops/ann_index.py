@@ -77,6 +77,62 @@ def load_manifest(root: str) -> dict:
     return meta
 
 
+def _invalidate_manifest(root: str) -> None:
+    """Rebuild start-point: the stale manifest (old planes/seed/epoch
+    list) must die BEFORE its data does. A crash mid-rebuild then
+    leaves an unloadable directory — a clean refusal at load — instead
+    of a loadable index whose manifest params mismatch the new data,
+    which would return wrong neighbors with no error."""
+    try:
+        os.remove(os.path.join(root, _MANIFEST))
+    except FileNotFoundError:
+        pass
+
+
+def _epoch_dir(root: str, epoch: int) -> str:
+    return os.path.join(root, "index", f"epoch={epoch}")
+
+
+def _read_index(spark: SparkSession, root: str, meta: dict) -> DataFrame:
+    """Scan ONLY the manifest-listed epoch directories. An orphan
+    epoch dir (data written by a crashed append whose manifest entry
+    never landed) must stay invisible: its fingerprint is unrecorded,
+    so the retried append is rightly accepted — scanning the orphan
+    too would double every one of its candidates. A PENDING entry is
+    included iff its directory exists: the publish rename is atomic,
+    so an existing dir is complete data that only missed the final
+    manifest rewrite. v1 indexes (no epoch level) read the whole dir."""
+    base = os.path.join(root, "index")
+    if "epochs" not in meta:
+        return spark.read.parquet(base)
+    paths = [
+        os.path.join(base, f"epoch={e['epoch']}")
+        for e in meta["epochs"]
+        if not e.get("pending") or os.path.isdir(_epoch_dir(root, e["epoch"]))
+    ]
+    if not paths:
+        raise ValueError(f"index at {root} has no committed epochs")
+    return spark.read.option("basePath", base).parquet(*paths)
+
+
+def _stage_epoch_entry(root: str, meta: dict, epoch: int,
+                       fingerprint: str | None) -> None:
+    """Record the epoch in the manifest BEFORE the rename publishes
+    its data: the fingerprint must never exist on disk without being
+    findable by _next_epoch, or a retried append double-indexes."""
+    meta["epochs"] = meta.get("epochs", []) + [
+        {"epoch": epoch, "fingerprint": fingerprint, "pending": True}
+    ]
+    _write_manifest(root, meta)
+
+
+def _commit_epoch_entry(root: str, meta: dict, epoch: int) -> None:
+    for e in meta["epochs"]:
+        if e["epoch"] == epoch:
+            e.pop("pending", None)
+    _write_manifest(root, meta)
+
+
 def _norm_quantize_bits(quantize_bits: int | None) -> int | None:
     """Validate + normalize the builder option: falsy -> None (so a
     0/None mismatch can't refuse an equivalent append), and codes must
@@ -165,13 +221,31 @@ def _next_epoch(
     centroids / prefix masks would silently corrupt recall), the index
     must be epoch-partitioned (format >= 2), and a corpus fingerprint
     already indexed is refused (appending the same files twice doubles
-    every candidate). Returns (manifest, new_epoch)."""
+    every candidate). Returns (manifest, new_epoch).
+
+    Pending markers from a crashed append are resolved here first: the
+    publish rename is atomic, so directory existence IS the commit bit
+    — an existing dir means the data published but the final manifest
+    rewrite was lost (promote: its fingerprint counts as indexed, so
+    the retry is refused); a missing dir means nothing published
+    (drop: the retry must be accepted)."""
     meta = load_manifest(root)
     if "epochs" not in meta:
         raise ValueError(
             f"index at {root} predates epoch partitioning (format "
             f"{meta.get('format', 1)}): rebuild once to enable append"
         )
+    resolved, changed = [], False
+    for e in meta["epochs"]:
+        if e.get("pending"):
+            changed = True
+            if not os.path.isdir(_epoch_dir(root, e["epoch"])):
+                continue
+            e = {k: v for k, v in e.items() if k != "pending"}
+        resolved.append(e)
+    if changed:
+        meta["epochs"] = resolved
+        _write_manifest(root, meta)
     for k, v in params.items():
         if meta.get(k) != v:
             raise ValueError(
@@ -193,8 +267,11 @@ def _write_epoch(idx: DataFrame, root: str, epoch: int,
                  partition_cols: list[str]) -> None:
     """Crash-safe epoch write: the partitioned data lands in a staged
     dir, then ONE directory rename publishes it as index/epoch=N —
-    queries never see a partially-written epoch, and a crashed append
-    leaves only an invisible staging dir."""
+    queries never see a partially-written epoch. The caller records
+    the epoch in the manifest (pending) BEFORE calling this, so a
+    crash in the rename-to-manifest-commit window leaves a pending
+    entry that _next_epoch resolves by directory existence; a crash
+    earlier leaves only an invisible staging dir."""
     import shutil
     import uuid
 
@@ -247,12 +324,18 @@ def build_lsh_index(
         "kind": "lsh", "dim": dim, "nbits": nbits, "tables": tables,
         "seed": seed, "n_pfx": n_pfx, "id_col": id_col, "vec_col": vec_col,
         "quantize_bits": quantize_bits,
+        # the id TYPE is part of the contract: appending string keys
+        # onto a bigint index would write mixed-schema parquet under
+        # one directory and fail (or mis-handle ids) only at query
+        # time, far from the bad append
+        "id_type": id_ddl(df.select(id_col)),
     }
     if append:
         meta, epoch = _next_epoch(root, params, fingerprint)
     else:
         import shutil
 
+        _invalidate_manifest(root)  # stale manifest dies before its data
         shutil.rmtree(os.path.join(root, "index"), ignore_errors=True)
         meta = {"format": FORMAT_VERSION, **params, "epochs": []}
         epoch = 0
@@ -260,14 +343,17 @@ def build_lsh_index(
     rows = _sig_vec_kernel(df, dim, planes_by_t, id_col, vec_col,
                            qbits=quantize_bits)
     idx = rows.withColumn("pfx", F.col("bucket").bitwiseAND(F.lit(n_pfx - 1)))
+    if append:
+        _stage_epoch_entry(root, meta, epoch, fingerprint)
     _write_epoch(
         idx.repartition("t", "pfx").sortWithinPartitions("bucket"),
         root, epoch, ["t", "pfx"],
     )
-    meta["epochs"] = meta.get("epochs", []) + [
-        {"epoch": epoch, "fingerprint": fingerprint}
-    ]
-    _write_manifest(root, meta)
+    if append:
+        _commit_epoch_entry(root, meta, epoch)
+    else:
+        meta["epochs"] = [{"epoch": epoch, "fingerprint": fingerprint}]
+        _write_manifest(root, meta)
     return meta
 
 
@@ -308,7 +394,7 @@ def lsh_index_topk(
         (F.col("t") == t) & F.col("bucket").isin(ps) for t, ps in probes.items()
     ]
     idx = (
-        spark.read.parquet(os.path.join(root, "index"))
+        _read_index(spark, root, meta)
         # leading conjuncts over the PARTITION columns alone -> directory
         # prune; the OR-of-tables residual exactifies per-table buckets
         .filter(F.col("pfx").isin(pfx_all))
@@ -344,6 +430,7 @@ def build_ivf_index(
         "kind": "ivf", "dim": dim, "seed": seed,
         "id_col": id_col, "vec_col": vec_col,
         "quantize_bits": quantize_bits,
+        "id_type": id_ddl(df.select(id_col)),  # see build_lsh_index
     }
     if append:
         # validate the REQUESTED centroid count, not the actual one:
@@ -363,6 +450,7 @@ def build_ivf_index(
     else:
         import shutil
 
+        _invalidate_manifest(root)  # stale manifest dies before its data
         shutil.rmtree(os.path.join(root, "index"), ignore_errors=True)
         epoch = 0
         cents = ivf_centroids(df, dim, n_centroids, sample, iters, id_col, vec_col, seed)
@@ -405,11 +493,14 @@ def build_ivf_index(
         # index behind
         os.makedirs(root, exist_ok=True)
         np.save(os.path.join(root, "centroids.npy"), cent)
+    if append:
+        _stage_epoch_entry(root, meta, epoch, fingerprint)
     _write_epoch(rows.repartition("list_id"), root, epoch, ["list_id"])
-    meta["epochs"] = meta.get("epochs", []) + [
-        {"epoch": epoch, "fingerprint": fingerprint}
-    ]
-    _write_manifest(root, meta)
+    if append:
+        _commit_epoch_entry(root, meta, epoch)
+    else:
+        meta["epochs"] = [{"epoch": epoch, "fingerprint": fingerprint}]
+        _write_manifest(root, meta)
     return meta
 
 
@@ -429,9 +520,7 @@ def ivf_index_topk(
     q = np.asarray(query, dtype=np.float32)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(x) for x in np.argsort(-(cent @ qn))[:nprobe]]
-    idx = spark.read.parquet(os.path.join(root, "index")).filter(
-        F.col("list_id").isin(probes)
-    )
+    idx = _read_index(spark, root, meta).filter(F.col("list_id").isin(probes))
     cands = idx.select(
         F.col("id").alias(meta["id_col"]), F.col("vec").alias(meta["vec_col"])
     )
@@ -563,9 +652,7 @@ def lsh_index_topk_batch(
             probe_rows.extend((qid, t, p) for p in sorted(probes))
     n_pfx = meta["n_pfx"]
     pfx_all = sorted({b & (n_pfx - 1) for _, _, b in probe_rows})
-    idx = spark.read.parquet(os.path.join(root, "index")).filter(
-        F.col("pfx").isin(pfx_all)
-    )
+    idx = _read_index(spark, root, meta).filter(F.col("pfx").isin(pfx_all))
     buckets_all = sorted({b for _, _, b in probe_rows})
     if len(buckets_all) <= 4096:
         # row-group min/max prune; exactness comes from the probe join.
@@ -619,9 +706,7 @@ def ivf_index_topk_batch(
         for lst in lists
     ]
     lists_all = sorted({lst for _, lst in probe_rows})
-    idx = spark.read.parquet(os.path.join(root, "index")).filter(
-        F.col("list_id").isin(lists_all)
-    )
+    idx = _read_index(spark, root, meta).filter(F.col("list_id").isin(lists_all))
     qid_type = queries.schema[qid_col].dataType
     from pyspark.sql.types import IntegerType, StructField, StructType
 

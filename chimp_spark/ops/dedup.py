@@ -331,6 +331,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle -> minhash -> band ->
     bucket-join -> exact-Jaccard verify."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: trailing "
+            f"hashes would be silently dropped, changing candidate recall "
+            f"from the documented 1-(1-t^r)^b"
+        )
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     return verify_jaccard(cands, df, id_col, text_col, threshold=threshold)
@@ -611,6 +617,12 @@ def chargram_dedup_pairs(
     sketches -> banding equi-join -> exact chargram-Jaccard verify.
     Candidate recall at the threshold: 1-(1-t^r)^b with r =
     num_hashes/bands (defaults: t=0.8, r=2, b=8 -> 0.9997)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: trailing "
+            f"hashes would be silently dropped, changing candidate recall "
+            f"from the documented 1-(1-t^r)^b"
+        )
     fps = chargram_minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(
         fps, bands=bands, rows_per_band=num_hashes // bands, sig_col="fp"

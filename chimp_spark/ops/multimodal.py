@@ -29,6 +29,18 @@ MEDIA_DDL = (
 )
 
 
+def _binary_offsets(arr: pa.Array) -> np.ndarray:
+    """Value offsets of a binary array at its NATIVE width: int64 for
+    large_binary (what Spark delivers with useLargeVarTypes — the very
+    batches whose payload bytes can exceed 2 GiB), int32 otherwise.
+    Casting large_binary down to binary would raise ArrowInvalid on
+    exactly those >2 GiB batches, so we never cast — we read the
+    offsets buffer as the type says."""
+    bufs = arr.buffers()
+    dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    return np.frombuffer(bufs[1], dtype=dt)[arr.offset : arr.offset + len(arr) + 1]
+
+
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB (no image libs in this container): deterministic fake
     decode -> (height, width, 3) uint8 derived from the payload bytes.
@@ -138,9 +150,7 @@ def image_metadata(df: DataFrame) -> DataFrame:
             ids = b.column("media_id")
             payloads = b.column("payload")
             bufs = payloads.buffers()
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[
-                payloads.offset : payloads.offset + len(payloads) + 1
-            ]
+            offs = _binary_offsets(payloads)
             data = memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
             valid = np.asarray(payloads.is_valid())
             mimes, ws, hs = [], [], []
@@ -285,10 +295,7 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for b in batches:
             out_id, out_idx, out_ts, out_mean, out_std = [], [], [], [], []
             ids = b.column("media_id")
-            # cast pins int32 offsets: with useLargeVarTypes Spark
-            # delivers large_binary (int64 offsets) and a raw
-            # np.int32 view of that buffer would be garbage
-            payloads = b.column("payload").cast(pa.binary())
+            payloads = b.column("payload")
             ws = b.column("width")
             hs = b.column("height")
             durs = b.column("duration_ms")
@@ -299,9 +306,7 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             # when a real PyAV decoder that needs full bytes lands, it
             # should stream from the buffer, not copy it
             bufs = payloads.buffers()
-            offs = np.frombuffer(bufs[1], dtype=np.int32)[
-                payloads.offset : payloads.offset + len(payloads) + 1
-            ]
+            offs = _binary_offsets(payloads)
             data = memoryview(bufs[2]).cast("B") if bufs[2] is not None else memoryview(b"")
             valid = np.asarray(payloads.is_valid())
             for i in range(b.num_rows):

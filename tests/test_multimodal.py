@@ -148,3 +148,40 @@ def test_video_frame_sample_plumbing(spark, media):
     assert first == again
     with pytest.raises(ValueError, match="every_ms"):
         M.video_frame_sample(vids, every_ms=0)
+
+
+def test_binary_offsets_native_width():
+    """large_binary (int64 offsets — what useLargeVarTypes delivers)
+    must be read at its NATIVE width, never down-cast: the cast raises
+    ArrowInvalid on batches whose payload bytes exceed 2 GiB, the very
+    case large offsets exist for. Sliced arrays must honor offset."""
+    import pyarrow as pa
+
+    vals = [b"abc", None, b"defgh", b"", b"xy"]
+    for typ, dt in ((pa.binary(), np.int32), (pa.large_binary(), np.int64)):
+        arr = pa.array(vals, typ)
+        offs = M._binary_offsets(arr)
+        assert offs.dtype == dt
+        assert list(offs) == [0, 3, 3, 8, 8, 10]
+        assert list(M._binary_offsets(arr.slice(2, 3))) == [3, 8, 8, 10]
+
+
+def test_media_kernels_under_large_var_types(spark, media):
+    """image_metadata and video_frame_sample must produce identical
+    results when Spark hands the kernels large_binary batches."""
+    imgs = media.filter(F.col("kind") == "image")
+    vids = media.filter(F.col("kind") == "video")
+    base_meta = {r["media_id"]: (r["mime"], r["width"], r["height"])
+                 for r in M.image_metadata(imgs).collect()}
+    base_frames = {(r["media_id"], r["frame_idx"]): r["luma_mean"]
+                   for r in M.video_frame_sample(vids).collect()}
+    spark.conf.set("spark.sql.execution.arrow.useLargeVarTypes", "true")
+    try:
+        lv_meta = {r["media_id"]: (r["mime"], r["width"], r["height"])
+                   for r in M.image_metadata(imgs).collect()}
+        lv_frames = {(r["media_id"], r["frame_idx"]): r["luma_mean"]
+                     for r in M.video_frame_sample(vids).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.useLargeVarTypes", "false")
+    assert lv_meta == base_meta
+    assert lv_frames == base_frames

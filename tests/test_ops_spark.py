@@ -931,3 +931,108 @@ def test_quantize_bits_validated_and_normalized(spark, embeddings, tmp_path):
     )
     assert meta["quantize_bits"] is None
     assert len(meta["epochs"]) == 2
+
+
+def test_ann_append_crash_windows_are_safe(spark, embeddings, tmp_path):
+    """The append/rebuild crash windows must fail SAFE (r4 advice):
+    (a) crash after the epoch rename but before the manifest commit
+    leaves a pending entry — the published data stays queryable AND
+    its fingerprint findable, so a retried append is refused instead
+    of double-indexing; (b) crash before anything published leaves a
+    pending entry with no directory — dropped, retry accepted; (c) a
+    crash mid-rebuild leaves an UNLOADABLE index (clean refusal), not
+    a loadable one whose manifest params mismatch the data."""
+    import json
+
+    from chimp_spark.ops import ann_index
+
+    emb = embeddings.select("vec_id", "embedding")
+    d1 = emb.filter(F.col("vec_id") < 50)
+    d2 = emb.filter(F.col("vec_id") >= 50)
+    n1, n2 = d1.count(), d2.count()
+    tables = 2
+
+    # (a) published-but-uncommitted epoch
+    root = str(tmp_path / "a")
+    ann_index.build_lsh_index(d1, root, dim=64, nbits=4, tables=tables,
+                              fingerprint="s1")
+    ann_index.build_lsh_index(d2, root, dim=64, nbits=4, tables=tables,
+                              append=True, fingerprint="s2")
+    mpath = os.path.join(root, "ann_index.json")
+    meta = json.load(open(mpath))
+    meta["epochs"][1]["pending"] = True  # simulate crash post-rename
+    json.dump(meta, open(mpath, "w"))
+    # queries still see BOTH epochs (dir exists => data is complete)
+    assert ann_index._read_index(
+        spark, root, ann_index.load_manifest(root)
+    ).count() == tables * (n1 + n2)
+    with pytest.raises(ValueError, match="already indexed"):
+        ann_index.build_lsh_index(d2, root, dim=64, nbits=4, tables=tables,
+                                  append=True, fingerprint="s2")
+    # the refusal's pending-resolution pass promoted the entry
+    meta = json.load(open(mpath))
+    assert [e.get("pending") for e in meta["epochs"]] == [None, None]
+
+    # (b) staged-but-never-published epoch
+    root_b = str(tmp_path / "b")
+    ann_index.build_lsh_index(d1, root_b, dim=64, nbits=4, tables=tables,
+                              fingerprint="s1")
+    mpath_b = os.path.join(root_b, "ann_index.json")
+    meta = json.load(open(mpath_b))
+    meta["epochs"].append({"epoch": 1, "fingerprint": "s2", "pending": True})
+    json.dump(meta, open(mpath_b, "w"))
+    # queries skip the phantom epoch
+    assert ann_index._read_index(
+        spark, root_b, ann_index.load_manifest(root_b)
+    ).count() == tables * n1
+    # the retry is ACCEPTED (nothing was published) and commits cleanly
+    meta = ann_index.build_lsh_index(d2, root_b, dim=64, nbits=4,
+                                     tables=tables, append=True,
+                                     fingerprint="s2")
+    assert [(e["epoch"], e.get("pending")) for e in meta["epochs"]] == [
+        (0, None), (1, None)
+    ]
+
+    # (c) crash mid-rebuild: stale manifest must already be gone
+    root_c = str(tmp_path / "c")
+    ann_index.build_lsh_index(d1, root_c, dim=64, nbits=4, tables=tables)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during rebuild write")
+
+    real = ann_index._write_epoch
+    ann_index._write_epoch = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            ann_index.build_lsh_index(d2, root_c, dim=64, nbits=4,
+                                      tables=tables)
+    finally:
+        ann_index._write_epoch = real
+    with pytest.raises(FileNotFoundError):
+        ann_index.load_manifest(root_c)
+
+
+def test_ann_append_id_type_validated(spark, embeddings, tmp_path):
+    """Appending string keys onto a bigint-keyed index must be refused
+    at append time — mixed id schemas under one index directory would
+    otherwise fail (or mis-handle ids) only at query time."""
+    from chimp_spark.ops import ann_index
+
+    emb = embeddings.select("vec_id", "embedding").limit(50)
+    root = str(tmp_path / "idt")
+    meta = ann_index.build_lsh_index(emb, root, dim=64, nbits=4, tables=1)
+    assert meta["id_type"] == "bigint"
+    keyed = emb.withColumn("vec_id", F.concat(F.lit("u"), F.col("vec_id")))
+    with pytest.raises(ValueError, match="id_type"):
+        ann_index.build_lsh_index(keyed, root, dim=64, nbits=4, tables=1,
+                                  append=True, fingerprint="str-keys")
+
+
+def test_lsh_bands_must_divide_num_hashes(spark, docs):
+    """bands must divide num_hashes in BOTH dedup lanes — trailing
+    hashes silently dropped would change candidate recall from the
+    documented 1-(1-t^r)^b with no error."""
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=6)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.chargram_dedup_pairs(docs, num_hashes=16, bands=6)
