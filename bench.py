@@ -123,21 +123,33 @@ def _stage_documents_big(sf_dir: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    staged = f"/tmp/bench_documents_{_sf_tag(sf_dir)}_big"
+    # 1.5 GB at the driver's sf0.1 so decode WORK dominates the leg
+    # (at 500 MB both the full and the split-filtered decode sit on
+    # the ~0.8 s fixed job cost and the pruning win is invisible);
+    # 500 MB elsewhere keeps the dev loop fast
+    target = 1.5e9 if _sf_tag(sf_dir) == "sf0.1" else 500e6
+    staged = f"/tmp/bench_documents_{_sf_tag(sf_dir)}_big2_{int(target / 1e6)}"
     if not os.path.exists(staged):
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         n = t.num_rows
         text_b = pc.sum(pc.binary_length(t.column("text").cast("binary"))).as_py() or 1
-        copies = max(int(500e6 // (text_b + 12 * n)) + 1, 1)
+        copies = max(int(target // (text_b + 12 * n)) + 1, 1)
         per_file = max((copies + 31) // 32, 1)
         os.makedirs(staged + ".tmp", exist_ok=True)
         for i in range(32):
+            # split clustered per FILE (the layout prepare_corpus-style
+            # jobs export): files 0-25 train, 26-28 valid, 29-31 test —
+            # chunks come out split-pure, so the split-filtered decode
+            # leg exercises real zone-map pruning
+            split = "train" if i < 26 else ("valid" if i < 29 else "test")
             parts = []
             for j in range(per_file):
                 off = (i * per_file + j) * n
-                parts.append(pa_mod.table(
-                    {"doc_id": pc.add(t.column("doc_id"), off), "text": t.column("text")}
-                ))
+                parts.append(pa_mod.table({
+                    "doc_id": pc.add(t.column("doc_id"), off),
+                    "text": t.column("text"),
+                    "split": pa_mod.array([split] * n),
+                }))
             pq.write_table(pa_mod.concat_tables(parts),
                            f"{staged}.tmp/part-{i:03d}.parquet", row_group_size=65_536)
         os.rename(staged + ".tmp", staged)
@@ -158,7 +170,8 @@ def _staged_encoded_documents(spark, sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
-        enc = engine.encode_parquet(spark, staged, columns=["doc_id", "text"],
+        enc = engine.encode_parquet(spark, staged,
+                                    columns=["doc_id", "text", "split"],
                                     table_name="documents")
         engine.EncodedTable(root).commit(spark, enc, "documents", mode="scan")
     return root
@@ -437,6 +450,36 @@ def main() -> None:
             "rows": r["rows"], "raw_bytes": rawd,
             "gbps": round(rawd / dt / 1e9, 4),
             "sink": "decode_table_to_parquet (no shuffle, file units)",
+        }
+
+        # r5: split-filtered export — materialize ONLY split='valid'
+        # (~9% of the table) with zone-map chunk pruning at the sink;
+        # pruned chunks' frame payloads are never read, so the wall
+        # should track the SPLIT's bytes, not the table's
+        sddl = "doc_id long, text string, split string"
+        dts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            r = engine.decode_table_to_parquet(
+                spark, droot, ["doc_id", "text", "split"], sddl,
+                f"/tmp/bench_dec_split_{i}", table="documents",
+                mode="overwrite", predicate=("split", "==", "valid"))
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        a = r["audit"]
+        results["decode_documents_split"] = round(dt, 3)
+        extra["decode_documents_split"] = {
+            "rows": r["rows"],
+            "frame_bytes_read": a["frame_bytes_read"],
+            "frame_bytes_total": a["frame_bytes_total"],
+            "read_fraction": round(
+                a["frame_bytes_read"] / max(a["frame_bytes_total"], 1), 4
+            ),
+            "split_raw_bytes": round(rawd * a["frame_bytes_read"]
+                                     / max(a["frame_bytes_total"], 1)),
+            "gbps": round(rawd * a["frame_bytes_read"]
+                          / max(a["frame_bytes_total"], 1) / dt / 1e9, 4),
+            "sink": "decode_table_to_parquet(predicate=split=='valid')",
         }
 
         # bulk-ingest fast path: stage a multi-row-group parquet file

@@ -114,18 +114,119 @@ class _ShardWriter:
         return self.path, self.rows, os.path.getsize(self.path)
 
 
-def _meta_batch(pid: int, shard: tuple[str, int, int]) -> pa.RecordBatch:
-    path, rows, size = shard
+def _meta_batch(pid: int, shard: tuple[str, int, int] | None,
+                audit: dict | None = None) -> pa.RecordBatch:
+    path, rows, size = shard if shard is not None else (None, 0, 0)
+    a = audit or {}
     return pa.RecordBatch.from_pydict(
-        {"spark_part": [pid], "path": [path], "rows": [rows], "bytes": [size]},
+        {
+            "spark_part": [pid], "path": [path], "rows": [rows],
+            "bytes": [size],
+            "groups_total": [a.get("groups_total", 0)],
+            "groups_decoded": [a.get("groups_decoded", 0)],
+            "frame_bytes_total": [a.get("frame_bytes_total", 0)],
+            "frame_bytes_read": [a.get("frame_bytes_read", 0)],
+        },
         schema=pa.schema(
             [("spark_part", pa.int32()), ("path", pa.string()),
-             ("rows", pa.int64()), ("bytes", pa.int64())]
+             ("rows", pa.int64()), ("bytes", pa.int64()),
+             ("groups_total", pa.int64()), ("groups_decoded", pa.int64()),
+             ("frame_bytes_total", pa.int64()), ("frame_bytes_read", pa.int64())]
         ),
     )
 
 
-_META_DDL = "spark_part int, path string, rows long, bytes long"
+_META_DDL = (
+    "spark_part int, path string, rows long, bytes long, "
+    "groups_total long, groups_decoded long, "
+    "frame_bytes_total long, frame_bytes_read long"
+)
+
+
+def _norm_predicate(predicate, columns: list[str]):
+    """Validate a decode-export predicate -> (col, op, payload).
+
+    Supported: ``(col, "==", v)``, ``(col, "in", [v, ...])``,
+    ``(col, "<=", v)``, ``(col, ">=", v)``, ``(col, "between", (lo,
+    hi))``. The predicate column must be among the decoded columns:
+    chunk pruning by zone maps is CONSERVATIVE (a surviving chunk may
+    still hold non-matching rows), so exactness comes from a row-level
+    filter on the decoded values — which requires the values."""
+    if predicate is None:
+        return None
+    col, op, payload = predicate
+    if col not in columns:
+        raise ValueError(
+            f"predicate column {col!r} must be among the decoded columns "
+            f"{columns} (chunk pruning is conservative; the exact filter "
+            f"runs on decoded values)"
+        )
+    if op not in ("==", "in", "<=", ">=", "between"):
+        raise ValueError(f"unsupported predicate op {op!r}")
+    if op == "in" and not payload:
+        raise ValueError("predicate 'in' needs a non-empty value list")
+    if op == "between" and len(payload) != 2:
+        raise ValueError("predicate 'between' needs (lo, hi)")
+    return col, op, payload
+
+
+def _pred_bounds(op, payload):
+    """[lo, hi] envelope of the predicate's matching values (for 'in',
+    the min..max hull — conservative, exactness comes later)."""
+    if op == "==":
+        return payload, payload
+    if op == "in":
+        return min(payload), max(payload)
+    if op == "<=":
+        return None, payload
+    if op == ">=":
+        return payload, None
+    return payload[0], payload[1]
+
+
+def _zone_keep(op, payload, smin, smax, bmin, bmax) -> bool:
+    """Can a chunk with these zone-map stats hold a matching row?
+    Missing stats => keep (conservative, mirrors core.decode_column).
+    Numeric predicates check the float stats; string/bytes predicates
+    check the 16-byte truncated binary bounds (min is a prefix ->
+    valid lower bound; max is truncate-and-increment -> valid upper
+    bound)."""
+    lo, hi = _pred_bounds(op, payload)
+    if isinstance(lo if lo is not None else hi, (str, bytes)):
+        klo = lo.encode() if isinstance(lo, str) else lo
+        khi = hi.encode() if isinstance(hi, str) else hi
+        if klo is not None and bmax is not None and bmax < klo:
+            return False
+        if khi is not None and bmin is not None and bmin > khi:
+            return False
+        return True
+    if smin is None or smax is None:
+        return True
+    if lo is not None and smax < lo:
+        return False
+    if hi is not None and smin > hi:
+        return False
+    return True
+
+
+def _row_mask(rb: pa.RecordBatch, idx: int, op, payload):
+    """Exact row-level predicate mask over a decoded batch (Arrow
+    compute, null -> False: SQL WHERE semantics)."""
+    import pyarrow.compute as pc
+
+    col = rb.column(idx)
+    if op == "==":
+        m = pc.equal(col, payload)
+    elif op == "in":
+        m = pc.is_in(col, value_set=pa.array(list(payload), col.type))
+    elif op == "<=":
+        m = pc.less_equal(col, payload)
+    elif op == ">=":
+        m = pc.greater_equal(col, payload)
+    else:
+        m = pc.and_(pc.greater_equal(col, payload[0]),
+                    pc.less_equal(col, payload[1]))
+    return pc.fill_null(m, False)
 
 
 def _commit(out_dir: str, staged: str, reported: list, columns: list[str],
@@ -138,12 +239,18 @@ def _commit(out_dir: str, staged: str, reported: list, columns: list[str],
     files: list[dict] = []
     total_rows = 0
     total_bytes = 0
-    for i, r in enumerate(sorted(reported, key=lambda r: (r["spark_part"], r["path"]))):
+    audit = {k: 0 for k in ("groups_total", "groups_decoded",
+                            "frame_bytes_total", "frame_bytes_read")}
+    shards = [r for r in reported if r["path"] is not None]
+    for i, r in enumerate(sorted(shards, key=lambda r: (r["spark_part"], r["path"]))):
         final = os.path.join(out_dir, f"part-{i:05d}.parquet")
         os.replace(r["path"], final)
         files.append({"file": os.path.basename(final), "rows": r["rows"], "bytes": r["bytes"]})
         total_rows += r["rows"]
         total_bytes += r["bytes"]
+    for r in reported:  # audit rows come from EVERY task, shard or not
+        for k in audit:
+            audit[k] += r[k]
     shutil.rmtree(staged, ignore_errors=True)
     manifest = {
         "rows": total_rows,
@@ -151,13 +258,15 @@ def _commit(out_dir: str, staged: str, reported: list, columns: list[str],
         "columns": columns,
         "ddl": ddl,
         "with_row_ids": with_row_ids,
+        "audit": audit,
         "files": files,
     }
     tmp = os.path.join(out_dir, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
-    return {"out_dir": out_dir, "files": len(files), "rows": total_rows, "bytes": total_bytes}
+    return {"out_dir": out_dir, "files": len(files), "rows": total_rows,
+            "bytes": total_bytes, "audit": audit}
 
 
 def _out_schema(columns: list[str], ddl: str, with_row_ids: bool) -> pa.Schema:
@@ -184,7 +293,7 @@ def decode_to_parquet(
     row_group_rows: int = 1 << 20,
     mode: str = "error",
     with_row_ids: bool = True,
-    colocated: bool = False,
+    colocated: bool | None = None,
 ) -> dict:
     """Decode ``columns`` of an in-flight encoded DataFrame into a
     parquet directory (see module docstring for when to prefer the
@@ -196,6 +305,17 @@ def decode_to_parquet(
     of a chunk contiguously within the task — the frames are already
     grouped. A mis-declared input fails loudly (each group checks it
     holds ALL requested columns) rather than writing wrong data.
+
+    ``colocated=None`` (default) AUTO-DETECTS: the no-shuffle path is
+    tried first, and the same group-completeness check that makes
+    ``colocated=True`` safe doubles as the detector — a layout whose
+    chunk groups are not whole-and-contiguous per partition cannot
+    pass it (a split group is missing columns in EVERY fragment), so
+    on that failure the decode transparently re-runs through the
+    co-location shuffle. Encode-direct callers get the fast path with
+    no flag; shuffled layouts still round-trip. The retry re-reads the
+    input, so for an expensive uncached ``encoded`` lineage either
+    cache it or pass ``colocated`` explicitly.
 
     Output schema: ``(part_id int32, row_id int64, *columns)`` (the
     alignment identity of the encode run) unless ``with_row_ids=False``
@@ -209,14 +329,12 @@ def decode_to_parquet(
     ``"error"`` (refuse an existing non-empty out_dir) or
     ``"overwrite"``.
     """
+    import shutil
+
     from .. import _ship
 
     _ship.ensure(encoded.sparkSession)
     staged = _prepare_out_dir(out_dir, mode)
-    if colocated:
-        sel = encoded.filter(F.col("column").isin(columns)).select(*_META_COLS)
-    else:
-        sel = colocate_chunks(encoded, columns)
     out_types = ddl_arrow_types(ddl)
     out_schema = _out_schema(columns, ddl, with_row_ids)
 
@@ -232,8 +350,26 @@ def decode_to_parquet(
         if shard is not None:
             yield _meta_batch(pid, shard)
 
-    reported = sel.mapInArrow(write_shard, _META_DDL).collect()
-    return _commit(out_dir, staged, reported, columns, ddl, with_row_ids)
+    def run(skip_shuffle: bool) -> dict:
+        if skip_shuffle:
+            sel = encoded.filter(F.col("column").isin(columns)).select(*_META_COLS)
+        else:
+            sel = colocate_chunks(encoded, columns)
+        reported = sel.mapInArrow(write_shard, _META_DDL).collect()
+        return _commit(out_dir, staged, reported, columns, ddl, with_row_ids)
+
+    if colocated is not None:
+        return run(colocated)
+    try:
+        return run(True)
+    except Exception as e:  # noqa: BLE001 — Py4J wraps the worker error
+        if "lacks columns" not in str(e):
+            raise
+        # not colocated: sweep the failed attempt's staging files and
+        # re-run through the co-location shuffle
+        shutil.rmtree(staged, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        return run(False)
 
 
 def decode_files_to_parquet(
@@ -249,6 +385,7 @@ def decode_files_to_parquet(
     mode: str = "error",
     with_row_ids: bool = True,
     num_slices: int | None = None,
+    predicate: tuple | None = None,
 ) -> dict:
     """NO-SHUFFLE decode: each task reads whole encoded data files
     with pyarrow, decodes, writes a decoded shard. Valid because a
@@ -262,10 +399,32 @@ def decode_files_to_parquet(
     The unit of work is the FILE (a chunk group must not be split), so
     parallelism == file count; encode jobs already write one file per
     task, which keeps the two jobs' granularities aligned.
+
+    ``predicate`` exports only matching rows — the "materialize just
+    split='train'" shape (see _norm_predicate for the forms). Two
+    levels, both task-side:
+
+    1. CHUNK PRUNE: a metadata-only pass per file (parquet is
+       columnar — reading the key/stats/enc_bytes columns touches no
+       frame payload pages) drops every chunk group whose zone map
+       cannot intersect the predicate; surviving groups are re-read
+       with a chunk_id pushdown filter, so pruned groups' payload
+       bytes are never materialized. When the encode layout clusters
+       the predicate column (e.g. sorted by split/lang), this skips
+       the bulk of the table's bytes; a hostile layout degrades to
+       reading everything — never to wrong output.
+    2. EXACT ROW FILTER on the decoded batches (Arrow compute,
+       null -> False), so the result is bit-identical to
+       decode-everything-then-filter regardless of layout.
+
+    The returned dict's ``audit`` records groups_total/groups_decoded
+    and frame_bytes_total/frame_bytes_read so callers (and tests) can
+    verify the prune actually skipped payload bytes.
     """
     from .. import _ship
 
     _ship.ensure(spark)
+    pred = _norm_predicate(predicate, columns)
     staged = _prepare_out_dir(out_dir, mode)
     files = sorted(enc_files)
     if not files:
@@ -281,6 +440,8 @@ def decode_files_to_parquet(
         .sortWithinPartitions("unit")
     )
     col_set = list(dict.fromkeys(columns))
+    _STAT_COLS = ["run_id", "part_id", "chunk_id", "column", "enc_bytes",
+                  "stat_min", "stat_max", "stat_min_bin", "stat_max_bin"]
 
     def work(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.dataset as pads
@@ -289,6 +450,50 @@ def decode_files_to_parquet(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         w = _ShardWriter(staged, pid, out_schema, compression, row_group_rows)
+        audit = {"groups_total": 0, "groups_decoded": 0,
+                 "frame_bytes_total": 0, "frame_bytes_read": 0}
+
+        def prune_keys(path, flt):
+            """Zone-map pass over one file WITHOUT the frame column:
+            returns the surviving (run_id, part_id, chunk_id) keys."""
+            m = pads.dataset(path, format="parquet").to_table(
+                columns=_STAT_COLS, filter=flt
+            )
+            keys = list(zip(m.column("run_id").to_pylist(),
+                            m.column("part_id").to_pylist(),
+                            m.column("chunk_id").to_pylist()))
+            ebytes = m.column("enc_bytes").to_pylist()
+            all_keys = set(keys)
+            cols = m.column("column").to_pylist()
+            keep = set()
+            seen_pred = set()
+            for j, c in enumerate(cols):
+                if c != pred[0]:
+                    continue
+                seen_pred.add(keys[j])
+                if _zone_keep(pred[1], pred[2],
+                              m.column("stat_min")[j].as_py(),
+                              m.column("stat_max")[j].as_py(),
+                              m.column("stat_min_bin")[j].as_py(),
+                              m.column("stat_max_bin")[j].as_py()):
+                    keep.add(keys[j])
+            if all_keys - seen_pred:
+                # a group with no frame for the predicate column can't
+                # be zone-checked; pruning it silently would turn a
+                # typo'd/missing column into an empty (wrong) export
+                # where the unpredicated decode would have raised
+                raise ValueError(
+                    f"predicate column {pred[0]!r} has no frames for "
+                    f"{len(all_keys - seen_pred)} chunk group(s) in {path} "
+                    f"— the table was not encoded with this column"
+                )
+            audit["groups_total"] += len(all_keys)
+            audit["groups_decoded"] += len(keep)
+            audit["frame_bytes_total"] += sum(ebytes)
+            audit["frame_bytes_read"] += sum(
+                e for k, e in zip(keys, ebytes) if k in keep
+            )
+            return keep
 
         def file_batches() -> Iterator[pa.RecordBatch]:
             for b in batches:
@@ -297,9 +502,29 @@ def decode_files_to_parquet(
                     flt = pads.field("column").isin(col_set)
                     if table is not None:
                         flt = flt & (pads.field("table") == table)
+                    if pred is not None:
+                        keep = prune_keys(path, flt)
+                        if not keep:
+                            continue
+                        # chunk_id pushdown skips pruned groups' frame
+                        # pages; the exact key check below handles
+                        # chunk_id collisions across (run, part)
+                        flt = flt & pads.field("chunk_id").isin(
+                            sorted({k[2] for k in keep})
+                        )
                     t = pads.dataset(path, format="parquet").to_table(
                         columns=_META_COLS, filter=flt
                     )
+                    if pred is not None:
+                        mask = [
+                            (r, p, c) in keep
+                            for r, p, c in zip(
+                                t.column("run_id").to_pylist(),
+                                t.column("part_id").to_pylist(),
+                                t.column("chunk_id").to_pylist(),
+                            )
+                        ]
+                        t = t.filter(pa.array(mask))
                     # group contiguity within the file regardless of
                     # how the encode interleaved its emits
                     t = t.sort_by(
@@ -308,11 +533,15 @@ def decode_files_to_parquet(
                     )
                     yield from t.to_batches()
 
+        pred_idx = 2 + columns.index(pred[0]) if pred is not None else -1
         for rb in iter_decoded_groups(file_batches(), columns, out_types, verify_checksums):
+            if pred is not None:
+                rb = rb.filter(_row_mask(rb, pred_idx, pred[1], pred[2]))
+                if rb.num_rows == 0:
+                    continue
             w.add(rb if with_row_ids else _strip_ids(rb, len(columns), out_schema))
         shard = w.close()
-        if shard is not None:
-            yield _meta_batch(pid, shard)
+        yield _meta_batch(pid, shard, audit)
 
     reported = plan.mapInArrow(work, _META_DDL).collect()
     return _commit(out_dir, staged, reported, columns, ddl, with_row_ids)
@@ -328,7 +557,11 @@ def decode_table_to_parquet(
     **kwargs,
 ) -> dict:
     """Decode a COMMITTED EncodedTable (engine/manifest.py layout) to
-    a decoded parquet directory with the no-shuffle file-unit path."""
+    a decoded parquet directory with the no-shuffle file-unit path.
+
+    Accepts ``predicate=(col, op, value)`` (see decode_files_to_parquet)
+    to export only matching rows with zone-map chunk pruning — e.g.
+    ``predicate=("split", "==", "train")`` after prepare_corpus."""
     from .manifest import EncodedTable
 
     t = EncodedTable(root)

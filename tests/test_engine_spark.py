@@ -574,3 +574,173 @@ def test_decode_to_parquet_colocated_fast_path(spark, tmp_path):
         engine.decode_to_parquet(scrambled, cols, ddl, str(tmp_path / "bad"),
                                  colocated=True)
     enc.unpersist()
+
+
+def test_predicate_pruned_decode_export(spark, tmp_path):
+    """decode_table_to_parquet(predicate=...) must (1) produce output
+    bit-identical to decode-everything-then-filter, (2) actually SKIP
+    pruned chunks' payload bytes (audited against an independent
+    zone-map computation over the committed metadata), and (3) stay
+    exact on a hostile layout where nothing can be pruned."""
+    from chimp_spark.engine import sink as S
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    ddl = "doc_id long, lang string, text string"
+
+    # lang-clustered layout: the shape prepare_corpus-style exports
+    # (split/lang-sorted) materialize from
+    root = str(tmp_path / "by_lang")
+    t = engine.EncodedTable(root)
+    enc = engine.encode_dataframe(
+        docs.orderBy("lang", "doc_id"), cols, codec="auto", chunk_rows=64,
+        table_name="documents",
+    )
+    t.commit(spark, enc, "documents", mode="df")
+
+    out = str(tmp_path / "only_en")
+    res = engine.decode_table_to_parquet(
+        spark, root, cols, ddl, out, table="documents",
+        verify_checksums=True, predicate=("lang", "==", "en"),
+    )
+    written = spark.read.parquet(out).select(*cols)
+    ref = (
+        engine.decode_table(t.read(spark), cols, ddl)
+        .filter(F.col("lang") == "en").select(*cols)
+    )
+    assert written.exceptAll(ref).isEmpty() and ref.exceptAll(written).isEmpty()
+    assert res["rows"] == ref.count()
+
+    # audit vs an independent zone computation over the metadata
+    meta = t.read(spark).filter(F.col("column") == "lang").select(
+        "run_id", "part_id", "chunk_id",
+        "stat_min", "stat_max", "stat_min_bin", "stat_max_bin",
+    ).collect()
+    keep = {
+        (r["run_id"], r["part_id"], r["chunk_id"])
+        for r in meta
+        if S._zone_keep("==", "en", r["stat_min"], r["stat_max"],
+                        r["stat_min_bin"], r["stat_max_bin"])
+    }
+    a = res["audit"]
+    assert a["groups_decoded"] == len(keep)
+    assert a["groups_total"] == len(meta)
+    assert 0 < a["groups_decoded"] < a["groups_total"], a  # pruning bit
+    assert a["frame_bytes_read"] < a["frame_bytes_total"]
+    # frame_bytes_read counts EXACTLY the surviving groups' bytes
+    by_group = (
+        t.read(spark).filter(F.col("column").isin(cols))
+        .select("run_id", "part_id", "chunk_id", "enc_bytes").collect()
+    )
+    expect_read = sum(
+        r["enc_bytes"] for r in by_group
+        if (r["run_id"], r["part_id"], r["chunk_id"]) in keep
+    )
+    assert a["frame_bytes_read"] == expect_read
+    assert a["frame_bytes_total"] == sum(r["enc_bytes"] for r in by_group)
+
+    # numeric range predicate on a doc_id-clustered layout
+    root2 = str(tmp_path / "by_id")
+    t2 = engine.EncodedTable(root2)
+    enc2 = engine.encode_dataframe(
+        docs.orderBy("doc_id"), cols, codec="auto", chunk_rows=64,
+        table_name="documents",
+    )
+    t2.commit(spark, enc2, "documents", mode="df")
+    out2 = str(tmp_path / "id_range")
+    res2 = engine.decode_table_to_parquet(
+        spark, root2, cols, ddl, out2, table="documents",
+        predicate=("doc_id", "between", (100, 150)),
+    )
+    w2 = spark.read.parquet(out2).select(*cols)
+    ref2 = docs.filter(F.col("doc_id").between(100, 150)).select(*cols)
+    assert w2.exceptAll(ref2).isEmpty() and ref2.exceptAll(w2).isEmpty()
+    a2 = res2["audit"]
+    assert 0 < a2["groups_decoded"] < a2["groups_total"]
+
+    # hostile layout (hash-scattered): zero pruning, still exact
+    out3 = str(tmp_path / "en_hostile")
+    root3 = str(tmp_path / "scattered")
+    t3 = engine.EncodedTable(root3)
+    enc3 = engine.encode_dataframe(
+        docs.repartition(4, "doc_id"), cols, codec="auto", chunk_rows=64,
+        table_name="documents",
+    )
+    t3.commit(spark, enc3, "documents", mode="df")
+    res3 = engine.decode_table_to_parquet(
+        spark, root3, cols, ddl, out3, table="documents",
+        predicate=("lang", "==", "en"),
+    )
+    w3 = spark.read.parquet(out3).select(*cols)
+    ref3 = docs.filter(F.col("lang") == "en").select(*cols)
+    assert w3.exceptAll(ref3).isEmpty() and ref3.exceptAll(w3).isEmpty()
+
+    # predicate column must be among the decoded columns
+    with pytest.raises(ValueError, match="predicate column"):
+        engine.decode_table_to_parquet(
+            spark, root, ["doc_id", "text"], "doc_id long, text string",
+            str(tmp_path / "bad"), table="documents",
+            predicate=("lang", "==", "en"),
+        )
+
+
+def test_decode_to_parquet_auto_colocation(spark, tmp_path, monkeypatch):
+    """With no colocated flag, an encode-direct input must take the
+    no-shuffle path (proved by forbidding colocate_chunks), and a
+    scrambled layout must transparently fall back to the shuffle and
+    still round-trip bit-identically."""
+    from chimp_spark.engine import sink as S
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cols = ["o_orderkey", "o_totalprice"]
+    ddl = "o_orderkey long, o_totalprice double"
+    enc = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=4096,
+                                  table_name="orders").cache()
+    enc.count()
+
+    def forbidden(*a, **k):
+        raise AssertionError("auto-detect took the shuffle path on "
+                             "an encode-direct input")
+
+    monkeypatch.setattr(S, "colocate_chunks", forbidden)
+    out = str(tmp_path / "auto_fast")
+    res = engine.decode_to_parquet(enc, cols, ddl, out, verify_checksums=True)
+    assert res["rows"] == df.count()
+    monkeypatch.undo()
+
+    # scrambled layout: auto must fall back to the shuffle, not fail
+    out2 = str(tmp_path / "auto_fallback")
+    res2 = engine.decode_to_parquet(enc.repartition(7), cols, ddl, out2,
+                                    verify_checksums=True)
+    assert res2["rows"] == df.count()
+
+    def canon(d):
+        return d.select("o_orderkey",
+                        F.col("o_totalprice").cast("string").alias("p"))
+    a = spark.read.parquet(out)
+    b = spark.read.parquet(out2)
+    src = canon(df)
+    for got in (a, b):
+        assert canon(got).exceptAll(src).isEmpty()
+        assert src.exceptAll(canon(got)).isEmpty()
+    enc.unpersist()
+
+
+def test_predicate_on_missing_column_raises(spark, tmp_path):
+    """A predicate naming a column the table was never encoded with
+    must RAISE, not silently export zero rows (the prune pass sees no
+    stats frames for it — indistinguishable from prune-everything
+    without the explicit check)."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    root = str(tmp_path / "enc")
+    t = engine.EncodedTable(root)
+    enc = engine.encode_dataframe(df, ["doc_id", "text"], codec="auto",
+                                  chunk_rows=256, table_name="documents")
+    t.commit(spark, enc, "documents", mode="df")
+    with pytest.raises(Exception, match="no frames for"):
+        engine.decode_table_to_parquet(
+            spark, root, ["doc_id", "text", "lang"],
+            "doc_id long, text string, lang string",
+            str(tmp_path / "out"), table="documents",
+            predicate=("lang", "==", "en"),
+        )
