@@ -317,7 +317,16 @@ def build_lsh_index(
     on-disk parquet saves ~40% (parquet has no INT8 physical type —
     codes ride as dictionary-encoded INT32). Signatures are still
     computed from full-precision input. All epochs of an index share
-    the setting (validated on append)."""
+    the setting (validated on append).
+
+    Why the LIVE index stays parquet-native instead of the engine's
+    own FOR+bitpack list frames (which reach the full ~4x on disk,
+    pinned in test_ann_storage_three_shapes_pinned): queries prune
+    (t, pfx) directories and bucket row groups with plain parquet
+    pushdown and rank codes straight off the scan; engine frames
+    would need a decode hop before any candidate could be ranked.
+    Engine framing is the ARCHIVAL shape for index snapshots, not the
+    serving shape."""
     n_pfx = int(min(1 << nbits, n_pfx or 256))
     quantize_bits = _norm_quantize_bits(quantize_bits)
     params = {

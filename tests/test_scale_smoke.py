@@ -139,3 +139,86 @@ def test_persisted_lsh_index_at_1m(spark, tmp_path):
     dt = time.perf_counter() - t0
     assert got[0] == 7 and 5_000_000 in got, got
     assert dt < 30, f"pruned query took {dt:.1f}s"
+
+
+def test_prepare_corpus_at_1m_docs(spark, tmp_path):
+    """End-to-end corpus preparation at 10^6 docs: exact dedup,
+    MinHash near-dedup, deterministic split, and the chunk-sized
+    encode layout in ONE run, plus a resume no-op second run. Planted:
+    1,000 byte-identical copies (exact lane) and 500 near-dup pairs of
+    100-word docs with one word changed (Jaccard ~ 0.94 >= the 0.9
+    threshold — the near lane, invisible to exact dedup)."""
+    import time
+
+    from chimp_spark.ops.pipeline import prepare_corpus
+
+    base = _synth_docs(spark, N_DOCS)
+    exact_copies = base.filter(F.col("doc_id") < 1000).withColumn(
+        "doc_id", F.col("doc_id") + 20_000_000
+    )
+
+    def long_doc(id_off, words_expr):
+        return spark.range(500).select(
+            (F.col("id") + id_off).alias("doc_id"),
+            F.concat_ws(" ", words_expr).alias("text"),
+        )
+
+    words100 = F.transform(
+        F.sequence(F.lit(1), F.lit(100)),
+        lambda j: F.conv(
+            (F.abs(F.xxhash64(F.col("id") * 131 + j)) % 100_000).cast("string"),
+            10, 36,
+        ),
+    )
+    # same first 99 words, different word 100 -> near dup, not exact
+    words99 = F.transform(
+        F.sequence(F.lit(1), F.lit(100)),
+        lambda j: F.when(
+            j < 100,
+            F.conv((F.abs(F.xxhash64(F.col("id") * 131 + j)) % 100_000)
+                   .cast("string"), 10, 36),
+        ).otherwise(F.lit("zzzzchanged")),
+    )
+    near_a = long_doc(30_000_000, words100)
+    near_b = long_doc(31_000_000, words99)
+    corpus = base.unionAll(exact_copies).unionAll(near_a).unionAll(near_b)
+    n_in = N_DOCS + 1000 + 1000
+
+    root = str(tmp_path / "corpus1m")
+    t0 = time.perf_counter()
+    stats = prepare_corpus(spark, corpus, root, chunk_rows=65_536,
+                           table_name="documents")
+    wall = time.perf_counter() - t0
+    c = stats["counts"]
+    assert c["input"] == n_in
+    assert c["after_exact_dedup"] == n_in - 1000  # planted exact copies
+    near_removed = c["after_exact_dedup"] - c["after_near_dedup"]
+    # >= the 500 planted losers; a handful of accidental near-dups in
+    # 10^6 random 12-word docs is tolerated, an avalanche is a bug
+    assert 500 <= near_removed <= 600, near_removed
+    assert c["after_filters"] == c["after_near_dedup"]  # no filters on
+
+    # min-id canonical: every planted near pair keeps the 30M id
+    kept = engine.decode_table(
+        engine.EncodedTable(root).read(spark), ["doc_id", "split"],
+        "doc_id long, split string",
+    ).cache()
+    assert kept.filter(F.col("doc_id") >= 31_000_000).count() == 0
+    assert kept.filter(
+        (F.col("doc_id") >= 30_000_000) & (F.col("doc_id") < 30_000_500)
+    ).count() == 500
+
+    # split fractions near the 0.8/0.1/0.1 weights
+    fr = {r["split"]: r["count"] / c["after_filters"]
+          for r in kept.groupBy("split").count().collect()}
+    assert abs(fr["train"] - 0.8) < 0.01 and abs(fr["valid"] - 0.1) < 0.01
+
+    # encode layout: committed partitions == ceil(n / chunk_rows)
+    assert stats["commit"]["partitions"] == -(-c["after_filters"] // 65_536)
+
+    # resume: the second run re-derives the stages and commits NOTHING
+    stats2 = prepare_corpus(spark, corpus, root, chunk_rows=65_536,
+                            table_name="documents")
+    assert stats2["commit"]["partitions"] == 0
+    kept.unpersist()
+    assert wall < 900, f"1M-doc prepare_corpus took {wall:.0f}s"
