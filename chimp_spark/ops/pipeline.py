@@ -122,7 +122,20 @@ def prepare_corpus(
     # would not survive a rerun).
     n_parts = max(1, -(-n_out // chunk_rows))
     cols = (encode_columns or df.columns) + ["split"]
-    step = step.select(*cols).repartition(n_parts, F.xxhash64(F.col(id_col)))
+    # range-partition by (split, hash-of-id) and sort within: chunk
+    # contents become a pure function of the data (rerun-identical —
+    # pinned in test_prepare_corpus_chunks_rerun_identical), partitions
+    # stay balanced (the hash is uniform within each split), and the
+    # layout is SPLIT-CLUSTERED — at most one split boundary per
+    # partition — so decode_table_to_parquet(predicate=("split", ...))
+    # zone-prunes a split export instead of reading the whole corpus.
+    # Plain hash-of-id partitioning would interleave splits in every
+    # chunk and make that export read 100% of the table's bytes.
+    step = (
+        step.select(*cols)
+        .repartitionByRange(n_parts, F.col("split"), F.xxhash64(F.col(id_col)))
+        .sortWithinPartitions("split", id_col)
+    )
 
     try:
         commit = engine.encode_and_commit(

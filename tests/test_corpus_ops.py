@@ -246,3 +246,47 @@ def test_prepare_corpus_on_pages_table_string_ids(spark, tmp_path):
     )
     assert dec.count() == c["after_filters"]
     assert dec.select("url").distinct().count() == dec.count()
+
+
+def test_prepare_corpus_split_export_prunes(spark, docs, tmp_path):
+    """The pipeline's split-clustered chunk layout must let the
+    predicate decode sink export one split WITHOUT reading the whole
+    corpus: groups_decoded < groups_total, output exactly the split."""
+    from chimp_spark.ops.pipeline import prepare_corpus
+
+    root = str(tmp_path / "corpus")
+    prepare_corpus(spark, docs, root, chunk_rows=64)
+    out = str(tmp_path / "train_only")
+    res = engine.decode_table_to_parquet(
+        spark, root, ["doc_id", "text", "split"],
+        "doc_id long, text string, split string",
+        out, table="documents", predicate=("split", "==", "valid"),
+    )
+    a = res["audit"]
+    assert 0 < a["groups_decoded"] < a["groups_total"], a
+    w = spark.read.parquet(out)
+    assert w.filter(F.col("split") != "valid").count() == 0
+    full = engine.decode_table(
+        engine.EncodedTable(root).read(spark), ["doc_id", "split"],
+        "doc_id long, split string",
+    )
+    assert w.count() == full.filter(F.col("split") == "valid").count()
+
+
+def test_prepare_corpus_chunks_rerun_identical(spark, docs, tmp_path):
+    """Chunk contents are a pure function of the data: two runs over
+    the same input commit byte-identical frames (checksums match per
+    (part_id, chunk_id, column)) — the property partition-granular
+    resume and split-clustering rest on."""
+    from chimp_spark.ops.pipeline import prepare_corpus
+
+    sigs = []
+    for tag in ("a", "b"):
+        root = str(tmp_path / tag)
+        prepare_corpus(spark, docs, root, chunk_rows=64)
+        enc = engine.EncodedTable(root).read(spark)
+        sigs.append(sorted(
+            (r["part_id"], r["chunk_id"], r["column"], r["checksum"])
+            for r in enc.select("part_id", "chunk_id", "column", "checksum").collect()
+        ))
+    assert sigs[0] == sigs[1]
