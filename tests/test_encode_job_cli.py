@@ -113,3 +113,64 @@ def test_prepare_corpus_cli_end_to_end(tmp_path):
         dec.unpersist()
     finally:
         spark.stop()
+
+
+def test_export_job_where_parser():
+    """--where grammar maps to the sink predicate forms (no Spark)."""
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        from export_job import parse_where
+    finally:
+        sys.path.pop(0)
+    assert parse_where("split==train") == ("split", "==", "train")
+    assert parse_where("price<=10") == ("price", "<=", 10)
+    assert parse_where("score>=0.5") == ("score", ">=", 0.5)
+    assert parse_where("id between 5 100") == ("id", "between", (5, 100))
+    assert parse_where("lang in en,de") == ("lang", "in", ["en", "de"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot parse"):
+        parse_where("split != train")
+    with _pytest.raises(ValueError, match="between"):
+        parse_where("id between 5")
+
+
+def test_export_job_cli_end_to_end(tmp_path):
+    """encode_job then export_job --where over real interpreter runs:
+    the exported slice must equal the source's matching rows, and the
+    audit must show chunk pruning on the id-sorted layout."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = pa.table({
+        "k": list(range(4000)),
+        "v": [float(i) / 7 for i in range(4000)],
+    })
+    pq.write_table(t, src / "part-0.parquet", row_group_size=500)
+    enc = str(tmp_path / "enc")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(
+        [sys.executable, JOB, "--input", str(src), "--output", enc,
+         "--table", "t", "--chunk-rows", "500"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    out = str(tmp_path / "export")
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/export_job.py",
+         "--input", enc, "--output", out, "--table", "t",
+         "--columns", "k,v", "--ddl", "k long, v double",
+         "--where", "k between 1000 1999", "--verify-checksums"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    res = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 1000
+    a = res["audit"]
+    assert 0 < a["groups_decoded"] < a["groups_total"], a
+    got = pq.read_table(out).sort_by("k")
+    assert got.column("k").to_pylist() == list(range(1000, 2000))
+    assert got.column("v").to_pylist() == [float(i) / 7 for i in range(1000, 2000)]
