@@ -124,15 +124,17 @@ def encode_parquet(
     if not units:
         return spark.createDataFrame([], ENC_DDL)
     n_slices = num_slices or min(len(units), spark.sparkContext.defaultParallelism * 2)
-    # range-partition + sort on unit id: consecutive row groups of the
+    # positional slicing via parallelize: consecutive row groups of the
     # same file land in the same task in order (footer parsed once per
-    # task, sequential reads), while unit counts stay balanced
-    plan = (
-        spark.createDataFrame(
-            [(u, p, r) for (u, p, r) in units], "unit int, path string, rg int"
-        )
-        .repartitionByRange(n_slices, "unit")
-        .sortWithinPartitions("unit")
+    # task, sequential reads) with balanced unit counts — the same
+    # layout repartitionByRange("unit") produced, minus its sampling
+    # job and exchange (two scheduled stages per call on a list the
+    # driver already holds sorted)
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(u, p, r) for (u, p, r) in units], n_slices
+        ),
+        "unit int, path string, rg int",
     )
 
     codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)

@@ -432,12 +432,14 @@ def decode_files_to_parquet(
     out_types = ddl_arrow_types(ddl)
     out_schema = _out_schema(columns, ddl, with_row_ids)
     n_slices = num_slices or min(len(files), spark.sparkContext.defaultParallelism)
-    plan = (
-        spark.createDataFrame(
-            [(i, p) for i, p in enumerate(files)], "unit int, path string"
-        )
-        .repartitionByRange(n_slices, "unit")
-        .sortWithinPartitions("unit")
+    # positional slicing, not repartitionByRange: same contiguous
+    # file-per-task layout without the range sampler's extra stage
+    # and exchange (see scan.py)
+    plan = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(i, p) for i, p in enumerate(files)], n_slices
+        ),
+        "unit int, path string",
     )
     col_set = list(dict.fromkeys(columns))
     _STAT_COLS = ["run_id", "part_id", "chunk_id", "column", "enc_bytes",
