@@ -294,6 +294,7 @@ def decode_to_parquet(
     mode: str = "error",
     with_row_ids: bool = True,
     colocated: bool | None = None,
+    predicate: tuple | None = None,
 ) -> dict:
     """Decode ``columns`` of an in-flight encoded DataFrame into a
     parquet directory (see module docstring for when to prefer the
@@ -325,6 +326,14 @@ def decode_to_parquet(
     shard's rows are ordered by (run_id, part_id, chunk_id), i.e.
     encode order within the shard.
 
+    ``predicate=(col, op, value)`` (same forms as
+    decode_files_to_parquet) exports only matching rows via an exact
+    row-level filter on the decoded values. No chunk-level zone
+    pruning here: an in-flight frame DataFrame has already paid its
+    materialization, so pruning would save only decode CPU — the
+    committed-table path (decode_table_to_parquet), where stats ride
+    with the files and pruning skips IO, is the split-export shape.
+
     Returns ``{"out_dir", "files", "rows", "bytes"}``. ``mode`` is
     ``"error"`` (refuse an existing non-empty out_dir) or
     ``"overwrite"``.
@@ -334,6 +343,7 @@ def decode_to_parquet(
     from .. import _ship
 
     _ship.ensure(encoded.sparkSession)
+    pred = _norm_predicate(predicate, columns)
     staged = _prepare_out_dir(out_dir, mode)
     out_types = ddl_arrow_types(ddl)
     out_schema = _out_schema(columns, ddl, with_row_ids)
@@ -344,7 +354,12 @@ def decode_to_parquet(
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         w = _ShardWriter(staged, pid, out_schema, compression, row_group_rows)
+        pred_idx = 2 + columns.index(pred[0]) if pred is not None else -1
         for rb in iter_decoded_groups(batches, columns, out_types, verify_checksums):
+            if pred is not None:
+                rb = rb.filter(_row_mask(rb, pred_idx, pred[1], pred[2]))
+                if rb.num_rows == 0:
+                    continue
             w.add(rb if with_row_ids else _strip_ids(rb, len(columns), out_schema))
         shard = w.close()
         if shard is not None:

@@ -744,3 +744,26 @@ def test_predicate_on_missing_column_raises(spark, tmp_path):
             str(tmp_path / "out"), table="documents",
             predicate=("lang", "==", "en"),
         )
+
+
+def test_decode_to_parquet_predicate_row_filter(spark, tmp_path):
+    """The DF-input sink's predicate must equal filter-after-decode
+    exactly (no zone pruning there by design — in-flight frames are
+    already materialized; the committed-table path owns IO pruning)."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cols = ["doc_id", "lang", "text"]
+    ddl = "doc_id long, lang string, text string"
+    enc = engine.encode_dataframe(df, cols, codec="auto", chunk_rows=256,
+                                  table_name="documents").cache()
+    out = str(tmp_path / "en_only")
+    res = engine.decode_to_parquet(enc, cols, ddl, out,
+                                   predicate=("lang", "==", "en"))
+    got = spark.read.parquet(out).select(*cols)
+    ref = df.filter(F.col("lang") == "en").select(*cols)
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+    assert res["rows"] == ref.count()
+    with pytest.raises(ValueError, match="predicate column"):
+        engine.decode_to_parquet(enc, ["doc_id"], "doc_id long",
+                                 str(tmp_path / "bad"),
+                                 predicate=("lang", "==", "en"))
+    enc.unpersist()
