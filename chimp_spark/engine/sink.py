@@ -525,10 +525,13 @@ def decode_files_to_parquet(
                             continue
                         # chunk_id pushdown skips pruned groups' frame
                         # pages; the exact key check below handles
-                        # chunk_id collisions across (run, part)
-                        flt = flt & pads.field("chunk_id").isin(
-                            sorted({k[2] for k in keep})
-                        )
+                        # chunk_id collisions across (run, part).
+                        # Bounded: a near-unpruned huge file would
+                        # bloat the filter expression for no IO win —
+                        # the exact check alone stays correct.
+                        chunk_ids = sorted({k[2] for k in keep})
+                        if len(chunk_ids) <= 4096:
+                            flt = flt & pads.field("chunk_id").isin(chunk_ids)
                     t = pads.dataset(path, format="parquet").to_table(
                         columns=_META_COLS, filter=flt
                     )
