@@ -417,8 +417,10 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"]
         >= c["after_filters"]
     )
-    n_parts_expected = max(1, -(-c["after_filters"] // 4096))
-    layout_ok = stats["commit"]["partitions"] in (0, n_parts_expected)
+    # layout is sized by the pipeline: committed partitions are the
+    # NON-EMPTY members of the deterministic (split, bucket) hash
+    # layout, bounded by the planned count (0 = resumed no-op run)
+    layout_ok = 0 <= stats["commit"]["partitions"] <= stats["encode_partitions"]
     from chimp_spark.ops import chunking
     from chimp_spark.ops import text as T
 

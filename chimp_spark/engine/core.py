@@ -297,6 +297,13 @@ def ddl_arrow_types(ddl: str) -> dict[str, pa.DataType]:
     }
 
 
+# marker string of the incomplete-chunk-group error below; the decode
+# sink's colocation auto-detect matches it across the Py4J boundary
+# (a worker exception arrives stringified), so it lives as a shared
+# constant rather than a substring two files must keep in sync
+INCOMPLETE_GROUP_MARK = "lacks columns"
+
+
 def iter_decoded_groups(
     batches: Iterator[pa.RecordBatch],
     columns: list[str],
@@ -319,7 +326,7 @@ def iter_decoded_groups(
         missing = [c for c in columns if c not in group]
         if missing:
             raise ValueError(
-                f"chunk (run={group_key[0]}, part={pid}) lacks columns "
+                f"chunk (run={group_key[0]}, part={pid}) {INCOMPLETE_GROUP_MARK} "
                 f"{missing}: decode_table needs all columns from ONE "
                 f"encode run — encode them together or decode per "
                 f"column and join on (part_id, row_id)"

@@ -46,7 +46,12 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import colocate_chunks, ddl_arrow_types, iter_decoded_groups
+from .core import (
+    INCOMPLETE_GROUP_MARK,
+    colocate_chunks,
+    ddl_arrow_types,
+    iter_decoded_groups,
+)
 
 _MANIFEST = "_decode_manifest.json"
 _META_COLS = ["run_id", "part_id", "chunk_id", "row_start", "column", "checksum", "frame"]
@@ -230,10 +235,12 @@ def _row_mask(rb: pa.RecordBatch, idx: int, op, payload):
 
 
 def _commit(out_dir: str, staged: str, reported: list, columns: list[str],
-            ddl: str, with_row_ids: bool) -> dict:
+            ddl: str, with_row_ids: bool, with_audit: bool = False) -> dict:
     """Rename exactly the reported shard files into out_dir; sweep the
     staging dir (orphans from failed attempts die there); write the
-    manifest last."""
+    manifest last. ``with_audit`` only for the file-unit path — the
+    DF-input sink doesn't measure pruning, and an all-zeros audit
+    would be indistinguishable from a run that read nothing."""
     import shutil
 
     files: list[dict] = []
@@ -258,15 +265,18 @@ def _commit(out_dir: str, staged: str, reported: list, columns: list[str],
         "columns": columns,
         "ddl": ddl,
         "with_row_ids": with_row_ids,
-        "audit": audit,
         "files": files,
     }
+    out = {"out_dir": out_dir, "files": len(files), "rows": total_rows,
+           "bytes": total_bytes}
+    if with_audit:
+        manifest["audit"] = audit
+        out["audit"] = audit
     tmp = os.path.join(out_dir, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(out_dir, _MANIFEST))
-    return {"out_dir": out_dir, "files": len(files), "rows": total_rows,
-            "bytes": total_bytes, "audit": audit}
+    return out
 
 
 def _out_schema(columns: list[str], ddl: str, with_row_ids: bool) -> pa.Schema:
@@ -316,7 +326,11 @@ def decode_to_parquet(
     co-location shuffle. Encode-direct callers get the fast path with
     no flag; shuffled layouts still round-trip. The retry re-reads the
     input, so for an expensive uncached ``encoded`` lineage either
-    cache it or pass ``colocated`` explicitly.
+    cache it or pass ``colocated`` explicitly. One sharp edge: a
+    column that is genuinely ABSENT from the table raises the same
+    incomplete-group error, so auto mode pays the failed fast pass
+    AND the shuffle pass before surfacing it — another reason to pass
+    ``colocated`` explicitly when lineage is expensive.
 
     Output schema: ``(part_id int32, row_id int64, *columns)`` (the
     alignment identity of the encode run) unless ``with_row_ids=False``
@@ -378,7 +392,7 @@ def decode_to_parquet(
     try:
         return run(True)
     except Exception as e:  # noqa: BLE001 — Py4J wraps the worker error
-        if "lacks columns" not in str(e):
+        if INCOMPLETE_GROUP_MARK not in str(e):
             raise
         # not colocated: sweep the failed attempt's staging files and
         # re-run through the co-location shuffle
@@ -443,7 +457,8 @@ def decode_files_to_parquet(
     staged = _prepare_out_dir(out_dir, mode)
     files = sorted(enc_files)
     if not files:
-        return _commit(out_dir, staged, [], columns, ddl, with_row_ids)
+        return _commit(out_dir, staged, [], columns, ddl, with_row_ids,
+                       with_audit=True)
     out_types = ddl_arrow_types(ddl)
     out_schema = _out_schema(columns, ddl, with_row_ids)
     n_slices = num_slices or min(len(files), spark.sparkContext.defaultParallelism)
@@ -564,7 +579,8 @@ def decode_files_to_parquet(
         yield _meta_batch(pid, shard, audit)
 
     reported = plan.mapInArrow(work, _META_DDL).collect()
-    return _commit(out_dir, staged, reported, columns, ddl, with_row_ids)
+    return _commit(out_dir, staged, reported, columns, ddl, with_row_ids,
+                   with_audit=True)
 
 
 def decode_table_to_parquet(

@@ -246,6 +246,19 @@ def _next_epoch(
     if changed:
         meta["epochs"] = resolved
         _write_manifest(root, meta)
+    if "id_type" in params and "id_type" not in meta:
+        # manifest predates id_type (r5): validate against the STORED
+        # data's actual parquet schema instead of refusing every
+        # legacy append, and backfill the manifest
+        stored = _stored_id_type(root)
+        if stored is not None and stored != params["id_type"]:
+            raise ValueError(
+                f"append refused: id type {params['id_type']!r} != the "
+                f"index's stored {stored!r} (mixed id schemas under one "
+                f"index directory fail at query time)"
+            )
+        meta["id_type"] = stored or params["id_type"]
+        _write_manifest(root, meta)
     for k, v in params.items():
         if meta.get(k) != v:
             raise ValueError(
@@ -261,6 +274,31 @@ def _next_epoch(
                 f"{[e['epoch'] for e in meta['epochs'] if e.get('fingerprint') == fingerprint]})"
             )
     return meta, max(e["epoch"] for e in meta["epochs"]) + 1
+
+
+def _stored_id_type(root: str) -> str | None:
+    """DDL type of the persisted index's id column, read from one data
+    file's parquet schema; None when unreadable or unmapped (caller
+    then trusts the append's declared type)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(root, "index", "**", "*.parquet"),
+                      recursive=True)
+    if not files:
+        return None
+    try:
+        t = pq.read_schema(files[0]).field("id").type
+    except (OSError, KeyError):
+        return None
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return None
 
 
 def _write_epoch(idx: DataFrame, root: str, epoch: int,

@@ -115,25 +115,38 @@ def prepare_corpus(
     # Encode chunking is per physical partition: left on the dedup
     # output's shuffle layout, a 100 TB run would commit millions of
     # near-empty chunks (metadata blowup) or, worse, few giant ones.
-    # Repartition to ~chunk_rows rows per partition by HASH of the id
-    # (xxhash64 of the value — a pure function of the data and n_parts,
-    # so a rerun reproduces the same layout and the manifest's
-    # partition-granular resume stays sound; round-robin repartition(n)
-    # would not survive a rerun).
-    n_parts = max(1, -(-n_out // chunk_rows))
+    # The layout must be (a) a PURE FUNCTION of the data — the
+    # manifest's partition-granular resume assumes a rerun reproduces
+    # partition membership, which rules out repartitionByRange (its
+    # boundaries come from sampling upstream partitions whose
+    # shuffle-fetch row order is not stable across runs) and
+    # round-robin repartition(n); and (b) SPLIT-CLUSTERED so
+    # decode_table_to_parquet(predicate=("split", ...)) zone-prunes a
+    # split export instead of reading the whole corpus (hash-of-id
+    # alone interleaves splits in every chunk). Both: hash-partition
+    # on (split, bucket) where bucket = xxhash64(id) mod the split's
+    # expected chunk count (a pure value function — the bucket counts
+    # derive from the configured weights and n_out, not from
+    # sampling). Each (split, bucket) group is ~chunk_rows rows and
+    # lands whole in one partition, so partitions hold a Poisson-few
+    # split-pure groups (bounded size, no giant partitions); the sort
+    # within keeps same-split rows contiguous, so chunks mix splits
+    # only at group boundaries.
     cols = (encode_columns or df.columns) + ["split"]
-    # range-partition by (split, hash-of-id) and sort within: chunk
-    # contents become a pure function of the data (rerun-identical —
-    # pinned in test_prepare_corpus_chunks_rerun_identical), partitions
-    # stay balanced (the hash is uniform within each split), and the
-    # layout is SPLIT-CLUSTERED — at most one split boundary per
-    # partition — so decode_table_to_parquet(predicate=("split", ...))
-    # zone-prunes a split export instead of reading the whole corpus.
-    # Plain hash-of-id partitioning would interleave splits in every
-    # chunk and make that export read 100% of the table's bytes.
+    wsum = sum(weights.values()) or 1.0
+    buckets = {
+        s: max(1, -(-int(round(n_out * w / wsum)) // chunk_rows))
+        for s, w in weights.items()
+    }
+    n_parts = sum(buckets.values())
+    bucket = None
+    for s, b in buckets.items():
+        cond = F.col("split") == s
+        val = F.pmod(F.xxhash64(F.col(id_col)), F.lit(b))
+        bucket = F.when(cond, val) if bucket is None else bucket.when(cond, val)
     step = (
         step.select(*cols)
-        .repartitionByRange(n_parts, F.col("split"), F.xxhash64(F.col(id_col)))
+        .repartition(n_parts, F.col("split"), bucket.otherwise(F.lit(0)))
         .sortWithinPartitions("split", id_col)
     )
 

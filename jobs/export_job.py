@@ -22,9 +22,13 @@ Usage (local example; on a cluster swap --master and add executors):
 
 --where forms: "col==value", "col<=value", "col>=value",
 "col between lo hi", "col in v1,v2,...". Values are parsed as int,
-then float, then kept as string. The predicate column must be among
---columns (chunk pruning is conservative; exactness comes from a
-row-level filter on the decoded values).
+then float, then kept as string; QUOTE a value ('2024' or \"007\") to
+force a string against a string column — the quotes are stripped and
+no numeric coercion happens. An `in` list coerces all-or-nothing
+(any member staying a string keeps the whole list strings), so the
+list is always one comparable type. The predicate column must be
+among --columns (chunk pruning is conservative; exactness comes from
+a row-level filter on the decoded values).
 """
 
 from __future__ import annotations
@@ -34,12 +38,28 @@ import json
 
 
 def _parse_value(s: str):
+    """int, then float, else string; quoted ('x' / "x") stays a string
+    with the quotes stripped — the only way to say "the string 2024"
+    about a string column (coercing it to int would make the Arrow
+    row filter raise in every task, far from the typo)."""
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
     for cast in (int, float):
         try:
             return cast(s)
         except ValueError:
             continue
     return s
+
+
+def _parse_list(vals: list[str]) -> list:
+    """All-or-nothing coercion: a mixed list like ['en', 2] would make
+    both the zone hull (min over mixed types) and the Arrow is_in
+    raise inside tasks — if any member stays a string, all do."""
+    parsed = [_parse_value(v) for v in vals]
+    if any(isinstance(p, str) for p in parsed):
+        return [p if isinstance(p, str) else v for p, v in zip(parsed, vals)]
+    return parsed
 
 
 def parse_where(expr: str) -> tuple:
@@ -49,9 +69,10 @@ def parse_where(expr: str) -> tuple:
     if len(toks) >= 3 and toks[1] == "between":
         if len(toks) != 4:
             raise ValueError(f"--where between needs 'col between lo hi', got {expr!r}")
-        return toks[0], "between", (_parse_value(toks[2]), _parse_value(toks[3]))
+        lo, hi = _parse_list([toks[2], toks[3]])
+        return toks[0], "between", (lo, hi)
     if len(toks) == 3 and toks[1] == "in":
-        return toks[0], "in", [_parse_value(v) for v in toks[2].split(",")]
+        return toks[0], "in", _parse_list(toks[2].split(","))
     for op in ("==", "<=", ">="):
         if op in expr:
             col, val = expr.split(op, 1)
@@ -89,7 +110,8 @@ def main() -> None:
         f"chimp_spark_export_{args.table}"
     ).getOrCreate()
     res = decode_table_to_parquet(
-        spark, args.input, args.columns.split(","), args.ddl, args.output,
+        spark, args.input, [c.strip() for c in args.columns.split(",")],
+        args.ddl, args.output,
         table=args.table, verify_checksums=args.verify_checksums,
         mode="overwrite" if args.overwrite else "error",
         with_row_ids=args.with_row_ids, predicate=predicate,

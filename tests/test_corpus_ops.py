@@ -239,7 +239,7 @@ def test_prepare_corpus_on_pages_table_string_ids(spark, tmp_path):
     )
     c = stats["counts"]
     assert c["after_filters"] > 0
-    assert stats["commit"]["partitions"] == stats["encode_partitions"]
+    assert 0 < stats["commit"]["partitions"] <= stats["encode_partitions"]
     dec = engine.decode_table(
         engine.EncodedTable(str(tmp_path / "pages")).read(spark),
         ["url", "text", "split"], "url string, text string, split string",

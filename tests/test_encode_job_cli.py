@@ -79,11 +79,12 @@ def test_prepare_corpus_cli_end_to_end(tmp_path):
     c = stats["counts"]
     assert c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"] >= c["after_filters"] > 0
     assert stats["commit"]["partitions"] > 0
-    # encode layout is sized by chunk_rows, not inherited from the
-    # dedup shuffle: 477 surviving docs / 65536 -> exactly 1 partition
-    assert stats["commit"]["partitions"] == stats["encode_partitions"] == (
-        (c["after_filters"] + 65_535) // 65_536
-    )
+    # encode layout is sized by chunk_rows per split, not inherited
+    # from the dedup shuffle: 477 surviving docs at the default
+    # 0.8/0.1/0.1 weights -> one bucket per split, 3 planned
+    # partitions; committed = the non-empty ones
+    assert stats["encode_partitions"] == 3
+    assert stats["commit"]["partitions"] <= stats["encode_partitions"]
 
     r2 = subprocess.run(args, capture_output=True, text=True, timeout=600, env=env)
     assert r2.returncode == 0, r2.stderr[-2000:]
@@ -174,3 +175,19 @@ def test_export_job_cli_end_to_end(tmp_path):
     got = pq.read_table(out).sort_by("k")
     assert got.column("k").to_pylist() == list(range(1000, 2000))
     assert got.column("v").to_pylist() == [float(i) / 7 for i in range(1000, 2000)]
+
+
+def test_export_job_where_quoting_and_mixed_lists():
+    """Quoted values stay strings (the only way to say \"the string
+    2024\" about a string column); 'in' lists coerce all-or-nothing so
+    the payload is always one comparable type."""
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        from export_job import parse_where
+    finally:
+        sys.path.pop(0)
+    assert parse_where("category=='2024'") == ("category", "==", "2024")
+    assert parse_where('code=="007"') == ("code", "==", "007")
+    assert parse_where("code in en,2") == ("code", "in", ["en", "2"])
+    assert parse_where("k in 1,2,3") == ("k", "in", [1, 2, 3])
+    assert parse_where("k between '5' 'a'") == ("k", "between", ("5", "a"))

@@ -1079,3 +1079,39 @@ def test_ann_storage_three_shapes_pinned(spark, embeddings, tmp_path):
     # absolute sanity: A ~ 4 B/value, C ~ 1 B/value + frame overhead
     assert a >= 3.5 * n_vals
     assert c <= 1.3 * n_vals
+
+
+def test_ann_append_legacy_manifest_without_id_type(spark, embeddings, tmp_path):
+    """Manifests written before id_type existed must accept a
+    type-matching append (validated against the stored parquet schema,
+    then backfilled) and refuse a type-changing one."""
+    import json
+
+    from chimp_spark.ops import ann_index
+
+    emb = embeddings.select("vec_id", "embedding")
+    d1 = emb.filter(F.col("vec_id") < 50)
+    d2 = emb.filter(F.col("vec_id") >= 50)
+    root = str(tmp_path / "legacy_idt")
+    ann_index.build_lsh_index(d1, root, dim=64, nbits=4, tables=1,
+                              fingerprint="s1")
+    mpath = os.path.join(root, "ann_index.json")
+    meta = json.load(open(mpath))
+    del meta["id_type"]  # simulate a pre-r5 manifest
+    json.dump(meta, open(mpath, "w"))
+    out = ann_index.build_lsh_index(d2, root, dim=64, nbits=4, tables=1,
+                                    append=True, fingerprint="s2")
+    assert out["id_type"] == "bigint"  # backfilled from the stored schema
+    assert len(out["epochs"]) == 2
+
+    # legacy manifest + TYPE-CHANGING append: still refused, via the
+    # stored schema
+    root2 = str(tmp_path / "legacy_idt2")
+    ann_index.build_lsh_index(d1, root2, dim=64, nbits=4, tables=1)
+    meta = json.load(open(os.path.join(root2, "ann_index.json")))
+    del meta["id_type"]
+    json.dump(meta, open(os.path.join(root2, "ann_index.json"), "w"))
+    keyed = d2.withColumn("vec_id", F.concat(F.lit("u"), F.col("vec_id")))
+    with pytest.raises(ValueError, match="stored"):
+        ann_index.build_lsh_index(keyed, root2, dim=64, nbits=4, tables=1,
+                                  append=True, fingerprint="s2")

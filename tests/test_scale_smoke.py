@@ -213,8 +213,11 @@ def test_prepare_corpus_at_1m_docs(spark, tmp_path):
           for r in kept.groupBy("split").count().collect()}
     assert abs(fr["train"] - 0.8) < 0.01 and abs(fr["valid"] - 0.1) < 0.01
 
-    # encode layout: committed partitions == ceil(n / chunk_rows)
-    assert stats["commit"]["partitions"] == -(-c["after_filters"] // 65_536)
+    # encode layout: sized by chunk_rows per split (3 splits add at
+    # most 2 partitions of rounding over a single global ceiling)
+    n_floor = -(-c["after_filters"] // 65_536)
+    assert n_floor <= stats["encode_partitions"] <= n_floor + 2
+    assert 0 < stats["commit"]["partitions"] <= stats["encode_partitions"]
 
     # resume: the second run re-derives the stages and commits NOTHING
     stats2 = prepare_corpus(spark, corpus, root, chunk_rows=65_536,
