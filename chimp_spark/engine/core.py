@@ -91,6 +91,43 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def encode_chunk_into(out: dict, arr: pa.Array, col: str, codec: str,
+                      cache: dict, table_name: str, run_id: str,
+                      part_id: int, chunk_id: int, row_start: int) -> None:
+    """Encode one column chunk and append its full lineage row to an
+    ENC_ARROW_SCHEMA column dict. The ONE place the encoded-row shape
+    lives: both ingest kernels (the DataFrame path below and the scan
+    path in scan.py) call it, so a schema change cannot silently
+    drift between the two paths."""
+    import time as _time
+
+    t0 = _time.perf_counter_ns()
+    try:
+        blob, meta = encode_chunk(arr, codec=codec, cache=cache)
+    except TypeError as e:
+        raise TypeError(f"column '{col}': {e}") from e
+    out["encode_ns"].append(_time.perf_counter_ns() - t0)
+    out["table"].append(table_name)
+    out["run_id"].append(run_id)
+    out["column"].append(col)
+    out["part_id"].append(part_id)
+    out["chunk_id"].append(chunk_id)
+    out["row_start"].append(row_start)
+    out["n"].append(meta.n)
+    out["n_valid"].append(meta.n_valid)
+    out["codec"].append(meta.codec)
+    out["dtype"].append(meta.dtype)
+    out["raw_bytes"].append(meta.raw_bytes)
+    out["enc_bytes"].append(meta.enc_bytes)
+    out["checksum"].append(meta.checksum)
+    out["stat_min"].append(meta.stat_min)
+    out["stat_max"].append(meta.stat_max)
+    out["stat_min_bin"].append(meta.stat_min_bin)
+    out["stat_max_bin"].append(meta.stat_max_bin)
+    out["reason"].append(meta.reason)
+    out["frame"].append(blob)
+
+
 def encode_dataframe(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -136,35 +173,12 @@ def encode_dataframe(
 
         def flush(tbl: pa.Table) -> pa.RecordBatch:
             out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
-            import time as _time
-
             for col in tbl.column_names:
-                arr = tbl.column(col).combine_chunks()
-                t0 = _time.perf_counter_ns()
-                try:
-                    blob, meta = encode_chunk(arr, codec=codec_map[col], cache=col_caches[col])
-                except TypeError as e:
-                    raise TypeError(f"column '{col}': {e}") from e
-                out["encode_ns"].append(_time.perf_counter_ns() - t0)
-                out["table"].append(table_name)
-                out["run_id"].append(run_id)
-                out["column"].append(col)
-                out["part_id"].append(pid)
-                out["chunk_id"].append(state["chunk_id"])
-                out["row_start"].append(state["row_start"])
-                out["n"].append(meta.n)
-                out["n_valid"].append(meta.n_valid)
-                out["codec"].append(meta.codec)
-                out["dtype"].append(meta.dtype)
-                out["raw_bytes"].append(meta.raw_bytes)
-                out["enc_bytes"].append(meta.enc_bytes)
-                out["checksum"].append(meta.checksum)
-                out["stat_min"].append(meta.stat_min)
-                out["stat_max"].append(meta.stat_max)
-                out["stat_min_bin"].append(meta.stat_min_bin)
-                out["stat_max_bin"].append(meta.stat_max_bin)
-                out["reason"].append(meta.reason)
-                out["frame"].append(blob)
+                encode_chunk_into(
+                    out, tbl.column(col).combine_chunks(), col,
+                    codec_map[col], col_caches[col], table_name, run_id,
+                    pid, state["chunk_id"], state["row_start"],
+                )
             state["chunk_id"] += 1
             state["row_start"] += tbl.num_rows
             return pa.RecordBatch.from_pydict(out, schema=ENC_ARROW_SCHEMA)

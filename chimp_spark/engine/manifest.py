@@ -119,7 +119,15 @@ class EncodedTable:
         return self.completed_part_ids(table, mode="scan")
 
     def data_files(self) -> list[str]:
-        return [os.path.join(self.data_dir, e["file"]) for e in self.manifest_entries()]
+        """Committed data file paths — ONLY the file-level entries
+        (part_id == -1, same filter read() uses). Partition-level
+        entries repeat their commit's first file and may carry None,
+        so including them would duplicate or crash."""
+        return [
+            os.path.join(self.data_dir, e["file"])
+            for e in self.manifest_entries()
+            if e["part_id"] == -1
+        ]
 
     # -- commit --------------------------------------------------------------
 
@@ -130,9 +138,20 @@ class EncodedTable:
             if e.get("table") == table and e.get("epoch") is not None
         }
 
+    def df_layout_parts(self, table: str) -> set[int]:
+        """Partition counts of the layouts previous df-mode commits
+        were stamped from (see encode_and_commit's resume guard)."""
+        return {
+            e["layout_parts"]
+            for e in self.manifest_entries()
+            if e["table"] == table and e.get("mode") == "df"
+            and e["part_id"] >= 0 and e.get("layout_parts") is not None
+        }
+
     def commit(self, spark: SparkSession, encoded: DataFrame, table: str,
                epoch: int | None = None, mode: str | None = None,
-               fingerprint: str | None = None) -> dict:
+               fingerprint: str | None = None,
+               layout_parts: int | None = None) -> dict:
         """Write encoded chunks as per-partition parquet files + new
         snapshot. ``fingerprint`` (scan mode) records the input
         file-set identity the positional unit ids were derived from —
@@ -174,6 +193,7 @@ class EncodedTable:
                     "epoch": epoch,
                     "mode": mode,
                     "fingerprint": fingerprint,
+                    "layout_parts": layout_parts,
                     "part_id": pid,
                     "chunks": s["chunks"],
                     "rows": s["rows"],
@@ -250,12 +270,32 @@ def encode_and_commit(
     Stamps each row with its physical partition id, anti-joins
     partitions already committed in the table's snapshot, encodes the
     rest, commits a new snapshot.
+
+    Resume correctness requires the rerun to reproduce the SAME
+    partition membership (a pure-value layout like prepare_corpus's
+    hash-of-id repartition, not round-robin). The commit records the
+    layout's partition count and a resume refuses when it changed —
+    the common way membership silently drifts (different
+    spark.sql.shuffle.partitions / parallelism between runs). Equal
+    counts with a value-dependent layout remain the caller's
+    contract, same as scan mode's stronger fingerprint is tied to the
+    file list.
     """
     from .core import encode_dataframe
 
     t = EncodedTable(root)
+    layout_parts = df.rdd.getNumPartitions()
     work = df.withColumn("__part_id", F.spark_partition_id())
     if resume:
+        stored = t.df_layout_parts(table)
+        if stored and stored != {layout_parts}:
+            raise ValueError(
+                f"df resume refused: input layout has {layout_parts} "
+                f"partitions but committed entries were stamped from a "
+                f"{sorted(stored)}-partition layout — partition ids would "
+                f"not identify the same rows. Rerun with the identical "
+                f"partitioning, or use a fresh output root"
+            )
         work = t.pending_partitions(work, table)
     cols = columns or [c for c in df.columns]
     # emptiness checked on the cheap filtered scan, not on the encoded
@@ -265,4 +305,5 @@ def encode_and_commit(
                 "resumed": True}
     encoded = encode_dataframe(work.drop("__part_id"), cols, codec=codec,
                                chunk_rows=chunk_rows, table_name=table)
-    return t.commit(spark, encoded, table, mode="df")
+    return t.commit(spark, encoded, table, mode="df",
+                    layout_parts=layout_parts)

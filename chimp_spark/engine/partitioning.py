@@ -66,7 +66,16 @@ def detect_hot_keys(
     """Sampled frequency scan: keys holding > ``threshold`` of rows.
     One cheap aggregation on a sample; at 10^12 rows run it on a
     sampled fraction — the Zipf head is visible at any sample size."""
-    sample = df.select(key).sample(0.1, seed=42) if df.isStreaming is False else df.select(key)
+    if df.isStreaming:
+        # count()/collect() raise on a streaming plan anyway — fail
+        # with an actionable message instead of an AnalysisException
+        # from the middle of the sample aggregation
+        raise ValueError(
+            "detect_hot_keys needs a batch DataFrame: sample a batch "
+            "slice of the stream's source (or supply hot_keys "
+            "explicitly to repartition_salted)"
+        )
+    sample = df.select(key).sample(0.1, seed=42)
     total = sample.count()
     if total == 0:
         return []

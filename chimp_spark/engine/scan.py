@@ -26,8 +26,7 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from .core import DEFAULT_CHUNK_ROWS, ENC_ARROW_SCHEMA, ENC_DDL
-from ..framing import encode_chunk
+from .core import DEFAULT_CHUNK_ROWS, ENC_ARROW_SCHEMA, ENC_DDL, encode_chunk_into
 
 
 def resolve_paths(paths: list[str] | str) -> list[str]:
@@ -140,8 +139,6 @@ def encode_parquet(
     codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
 
     def work(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import time as _time
-
         import pyarrow.parquet as pq
 
         from ..framing import column_cache
@@ -166,41 +163,16 @@ def encode_parquet(
                 row_start = 0
                 for off in range(0, max(tbl.num_rows, 1), chunk_rows):
                     sl = tbl.slice(off, chunk_rows)
-                    if sl.num_rows == 0 and tbl.num_rows > 0:
-                        break
                     out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}
                     for col in sl.column_names:
-                        arr = sl.column(col).combine_chunks()
-                        t0 = _time.perf_counter_ns()
-                        try:
-                            blob, meta = encode_chunk(
-                                arr, codec=codec_of(col),
-                                cache=col_caches.setdefault(
-                                    col, column_cache(f"{table_name}:{run_id}", col)
-                                ),
-                            )
-                        except TypeError as e:
-                            raise TypeError(f"column '{col}': {e}") from e
-                        out["encode_ns"].append(_time.perf_counter_ns() - t0)
-                        out["table"].append(table_name)
-                        out["run_id"].append(run_id)
-                        out["column"].append(col)
-                        out["part_id"].append(unit)
-                        out["chunk_id"].append(chunk_id)
-                        out["row_start"].append(row_start)
-                        out["n"].append(meta.n)
-                        out["n_valid"].append(meta.n_valid)
-                        out["codec"].append(meta.codec)
-                        out["dtype"].append(meta.dtype)
-                        out["raw_bytes"].append(meta.raw_bytes)
-                        out["enc_bytes"].append(meta.enc_bytes)
-                        out["checksum"].append(meta.checksum)
-                        out["stat_min"].append(meta.stat_min)
-                        out["stat_max"].append(meta.stat_max)
-                        out["stat_min_bin"].append(meta.stat_min_bin)
-                        out["stat_max_bin"].append(meta.stat_max_bin)
-                        out["reason"].append(meta.reason)
-                        out["frame"].append(blob)
+                        encode_chunk_into(
+                            out, sl.column(col).combine_chunks(), col,
+                            codec_of(col),
+                            col_caches.setdefault(
+                                col, column_cache(f"{table_name}:{run_id}", col)
+                            ),
+                            table_name, run_id, unit, chunk_id, row_start,
+                        )
                     chunk_id += 1
                     row_start += sl.num_rows
                     yield pa.RecordBatch.from_pydict(out, schema=ENC_ARROW_SCHEMA)

@@ -77,7 +77,14 @@ class _ShardWriter:
     """One decoded parquet shard per task: buffers decoded batches to
     ``row_group_rows`` row groups, writes with pyarrow. Attempt-unique
     file name — a retried/speculative attempt writes its own file and
-    only the attempt whose metadata row Spark keeps gets committed."""
+    only the attempt whose metadata row Spark keeps gets committed.
+
+    Flushes are ALSO byte-bounded: a row-count-only threshold would
+    hold 2^20 rows of wide text (tens of GB of Arrow buffers) per
+    task before the first write — an OOM the encode side never has
+    because its chunks are byte-sized in practice."""
+
+    MAX_BUFFER_BYTES = 256 << 20
 
     def __init__(self, staged: str, pid: int, schema: pa.Schema,
                  compression: str, row_group_rows: int):
@@ -88,6 +95,7 @@ class _ShardWriter:
         self.writer = None
         self.pending: list[pa.RecordBatch] = []
         self.buffered = 0
+        self.buffered_bytes = 0
         self.rows = 0
 
     def _flush(self) -> None:
@@ -102,12 +110,15 @@ class _ShardWriter:
         self.writer.write_table(pa.Table.from_batches(self.pending, schema=self.schema))
         self.pending = []
         self.buffered = 0
+        self.buffered_bytes = 0
 
     def add(self, rb: pa.RecordBatch) -> None:
         self.pending.append(rb)
         self.buffered += rb.num_rows
+        self.buffered_bytes += rb.nbytes
         self.rows += rb.num_rows
-        if self.buffered >= self.row_group_rows:
+        if (self.buffered >= self.row_group_rows
+                or self.buffered_bytes >= self.MAX_BUFFER_BYTES):
             self._flush()
 
     def close(self) -> tuple[str, int, int] | None:

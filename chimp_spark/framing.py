@@ -72,7 +72,18 @@ def dtype_of_arrow(t: pa.DataType) -> str:
     if pa.types.is_int8(t):
         return "i8"
     if pa.types.is_timestamp(t):
-        return "ts_us" if t.unit == "us" else "ts_ns"
+        # ONLY exact units: tagging an ms/s array ts_ns would store
+        # raw ms/s integers that decode as nanoseconds — wrong values
+        # with a PASSING checksum. encode_chunk normalizes ms/s to us
+        # before reaching here; anything else must fail loudly.
+        if t.unit == "us":
+            return "ts_us"
+        if t.unit == "ns":
+            return "ts_ns"
+        raise TypeError(
+            f"timestamp unit {t.unit!r} must be normalized to us before "
+            f"framing (encode_chunk does this; see dtype_of_arrow)"
+        )
     if pa.types.is_date32(t):
         return "date32"
     if pa.types.is_boolean(t):
@@ -237,6 +248,11 @@ def encode_chunk(
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) and arr.type.unit in ("ms", "s"):
+        # TIMESTAMP_MILLIS/SECONDS inputs (pandas/legacy parquet
+        # writers) upscale to us exactly; without this the values
+        # would be tagged ns and decode wrong with a passing checksum
+        arr = arr.cast(pa.timestamp("us", arr.type.tz))
     dtype = dtype_of_arrow(arr.type)
     n = len(arr)
     n_nulls = arr.null_count
@@ -264,6 +280,15 @@ def encode_chunk(
     stat_min_bin = stat_max_bin = None
     if dtype in ("str", "bin"):
         offs, data = _string_block(dense)
+        if int(data.size) >= 1 << 31:
+            # the decode side builds int32-offset arrays; emitting
+            # this frame would commit data that every later decode
+            # refuses — fail at ENCODE, where the fix is actionable
+            raise ValueError(
+                f"string/binary chunk payload {int(data.size)} bytes "
+                f"exceeds int32 offsets; re-encode with smaller "
+                f"chunk_rows"
+            )
         raw_bytes = int(data.size) + 4 * n
         checksum = zlib.crc32(data) ^ n
         if codec == "auto":
@@ -276,6 +301,13 @@ def encode_chunk(
         # f32 embeddings get byte-stream split, int lists get FOR/delta)
         inner_dt = dtype[5:]
         lens, vals, child_valid = _list_block(dense, _NUMPY_OF[inner_dt])
+        if int(vals.size) >= 1 << 31:
+            # mirror of the decode-side int32-offset guard: fail at
+            # encode instead of committing an undecodable frame
+            raise ValueError(
+                f"list chunk child count {int(vals.size)} overflows "
+                f"int32 offsets; re-encode with smaller chunk_rows"
+            )
         inner_payload = None
         if codec in ("auto", "list_plain", "list_block"):
             if vals.size:

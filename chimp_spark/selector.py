@@ -146,7 +146,11 @@ def choose_codec(
             cands["gcd_for"] = full_trial(L.gcd_for_encode, "gcd_for")
     else:  # integer kinds, date32
         iv = sample.astype(np.int64)
-        width = int(iv.max() - iv.min()).bit_length()
+        # range in PYTHON ints: xxhash/signature columns span nearly
+        # the full int64 range, where iv.max()-iv.min() wraps (numpy
+        # overflow warning + a bogus width that defeats the screen);
+        # everything inside the width<=56 branch is then wrap-safe
+        width = (int(iv.max()) - int(iv.min())).bit_length() if iv.size else 0
         if width <= 56:
             cands["for_bitpack"] = full_trial(L.for_bitpack_encode, "for_bitpack")
             if int(np.gcd.reduce(iv - iv.min())) > 1:

@@ -767,3 +767,42 @@ def test_decode_to_parquet_predicate_row_filter(spark, tmp_path):
                                  str(tmp_path / "bad"),
                                  predicate=("lang", "==", "en"))
     enc.unpersist()
+
+
+def test_df_resume_refuses_changed_layout(spark, tmp_path):
+    """df-mode resume must refuse when the input layout's partition
+    count changed between runs — partition ids would no longer
+    identify the same rows, and the old behavior silently dropped
+    never-encoded data (review finding)."""
+    df = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    root = str(tmp_path / "enc")
+    engine.encode_and_commit(spark, df.repartition(4, "n_nationkey"), root,
+                             "nation", chunk_rows=1024)
+    with pytest.raises(ValueError, match="df resume refused"):
+        engine.encode_and_commit(spark, df.repartition(8, "n_nationkey"),
+                                 root, "nation", chunk_rows=1024)
+    # same layout: clean resumed no-op
+    stats = engine.encode_and_commit(spark, df.repartition(4, "n_nationkey"),
+                                     root, "nation", chunk_rows=1024)
+    assert stats["partitions"] == 0 and stats.get("resumed")
+
+
+def test_shard_writer_flushes_on_bytes(tmp_path):
+    """The sink's shard writer must flush on buffered BYTES, not only
+    rows — wide text at the default 2^20-row threshold would hold tens
+    of GB per task before the first write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chimp_spark.engine import sink as S
+
+    schema = pa.schema([("t", pa.string())])
+    w = S._ShardWriter(str(tmp_path), 0, schema, "snappy",
+                       row_group_rows=1 << 20)
+    w.MAX_BUFFER_BYTES = 1 << 20  # 1 MB for the test
+    big = pa.RecordBatch.from_arrays([pa.array(["x" * 1000] * 600)], ["t"])
+    for _ in range(5):  # ~3 MB total
+        w.add(big)
+    path, rows, _size = w.close()
+    assert rows == 3000
+    assert pq.ParquetFile(path).metadata.num_row_groups >= 2

@@ -492,3 +492,53 @@ def test_deflate_string_roundtrip_and_selection():
     bins = pa.array([b"\x00\x01" * 300, b"", None, b"\xff" * 64], type=pa.binary())
     bblob, bmeta = framing.encode_chunk(bins, codec="deflate")
     assert framing.decode_chunk(bblob, pa.binary()).equals(bins)
+
+
+def test_timestamp_ms_unit_normalized_not_corrupted():
+    """TIMESTAMP_MILLIS/SECONDS inputs (pandas/legacy parquet writers)
+    must round-trip to the same INSTANT — the old path tagged them
+    ts_ns without rescaling, decoding wrong values under a PASSING
+    checksum (review-confirmed corruption)."""
+    import pyarrow as pa
+
+    from chimp_spark import framing
+
+    vals = [1_600_000_000_123, 1_600_000_111_456, None]
+    arr_ms = pa.array(vals, pa.timestamp("ms"))
+    blob, meta = framing.encode_chunk(arr_ms, codec="auto")
+    out = framing.decode_chunk(memoryview(blob))
+    assert out.type == pa.timestamp("us")
+    assert out.cast(pa.timestamp("ms")).to_pylist() == arr_ms.to_pylist()
+
+    arr_s = pa.array([1_600_000_000, 1_600_000_111], pa.timestamp("s"))
+    blob, _ = framing.encode_chunk(arr_s, codec="auto")
+    out = framing.decode_chunk(memoryview(blob))
+    assert out.cast(pa.timestamp("s")).to_pylist() == arr_s.to_pylist()
+
+    # the type mapper itself refuses un-normalized units loudly
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="normalized"):
+        framing.dtype_of_arrow(pa.timestamp("ms"))
+
+
+def test_selector_full_range_int64_no_overflow():
+    """xxhash/signature columns span nearly the full int64 range; the
+    width screen must use Python ints (numpy subtraction wraps with a
+    RuntimeWarning and a bogus width)."""
+    import warnings
+
+    import pyarrow as pa
+
+    from chimp_spark import framing
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                        5000, dtype=np.int64)
+    vals[0] = np.iinfo(np.int64).min + 2
+    vals[1] = np.iinfo(np.int64).max - 2
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
+    out = framing.decode_chunk(memoryview(blob))
+    np.testing.assert_array_equal(np.asarray(out), vals)
