@@ -48,6 +48,7 @@ from .similarity import (
     _hyperplanes,
     cosine_topk,
     ivf_centroids,
+    probe_buckets,
 )
 
 _MANIFEST = "ann_index.json"
@@ -310,9 +311,16 @@ def _write_epoch(idx: DataFrame, root: str, epoch: int,
     crash in the rename-to-manifest-commit window leaves a pending
     entry that _next_epoch resolves by directory existence; a crash
     earlier leaves only an invisible staging dir."""
+    import glob
     import shutil
     import uuid
 
+    # sweep staging dirs orphaned by a hard crash mid-write: the
+    # pending manifest entry is dropped on retry, but the multi-GB
+    # .staged dir itself would otherwise accumulate forever
+    # (single-writer assumption, like the rest of the protocol)
+    for d in glob.glob(os.path.join(root, ".epoch-*.staged")):
+        shutil.rmtree(d, ignore_errors=True)
     staged = os.path.join(root, f".epoch-{epoch}-{uuid.uuid4().hex[:8]}.staged")
     try:
         idx.write.mode("overwrite").partitionBy(*partition_cols).parquet(staged)
@@ -414,10 +422,7 @@ def _lsh_probes(meta: dict, query: list[float], multiprobe: int) -> dict[int, li
     for t in range(meta["tables"]):
         planes = _hyperplanes(meta["dim"], nbits, meta["seed"] + 1009 * t)
         qsig = int(((q @ planes.T) > 0) @ weights)
-        probes = {qsig}
-        if multiprobe >= 1:
-            probes |= {qsig ^ (1 << b) for b in range(nbits)}
-        out[t] = sorted(probes)
+        out[t] = probe_buckets(qsig, nbits, multiprobe)
     return out
 
 
@@ -480,19 +485,18 @@ def build_ivf_index(
         "id_type": id_ddl(df.select(id_col)),  # see build_lsh_index
     }
     if append:
+        meta, epoch = _next_epoch(root, params, fingerprint)
         # validate the REQUESTED centroid count, not the actual one:
         # ivf_centroids clamps to the sample size, so an append issued
         # with the exact same arguments as the original build must not
         # be refused just because the stored count was clamped
-        stored = load_manifest(root)
-        stored_req = stored.get("n_centroids_requested", stored.get("n_centroids"))
+        stored_req = meta.get("n_centroids_requested", meta.get("n_centroids"))
         if n_centroids != stored_req:
             raise ValueError(
                 f"append refused: param n_centroids={n_centroids!r} != "
                 f"index's requested {stored_req!r} (an index's centroids "
                 f"are fixed at build time)"
             )
-        meta, epoch = _next_epoch(root, params, fingerprint)
         cent = np.load(os.path.join(root, "centroids.npy"))
     else:
         import shutil
@@ -570,7 +574,8 @@ def ivf_index_topk(
     idx = _read_index(spark, root, meta).filter(F.col("list_id").isin(probes))
     cands = idx.select(
         F.col("id").alias(meta["id_col"]), F.col("vec").alias(meta["vec_col"])
-    )
+    ).dropDuplicates([meta["id_col"]])  # an id re-indexed by a later
+    # epoch (overlapping append) must not consume two top-k slots
     return cosine_topk(cands, query, k, meta["id_col"], meta["vec_col"])
 
 
@@ -693,10 +698,10 @@ def lsh_index_topk_batch(
         planes = _hyperplanes(meta["dim"], nbits, meta["seed"] + 1009 * t)
         sigs = ((qmat @ planes.T) > 0) @ weights
         for (qid, _), qsig in zip(qrows, sigs):
-            probes = {int(qsig)}
-            if multiprobe >= 1:
-                probes |= {int(qsig) ^ (1 << b) for b in range(nbits)}
-            probe_rows.extend((qid, t, p) for p in sorted(probes))
+            probe_rows.extend(
+                (qid, t, p)
+                for p in probe_buckets(int(qsig), nbits, multiprobe)
+            )
     n_pfx = meta["n_pfx"]
     pfx_all = sorted({b & (n_pfx - 1) for _, _, b in probe_rows})
     idx = _read_index(spark, root, meta).filter(F.col("pfx").isin(pfx_all))
@@ -767,6 +772,7 @@ def ivf_index_topk_batch(
     cand = (
         idx.join(F.broadcast(probes_df), ["list_id"])
         .select("__qid", "id", "vec")
+        .dropDuplicates(["__qid", "id"])  # cross-epoch re-indexed ids
         .join(F.broadcast(_query_block_df(spark, qrows, qid_type)), "__qid")
     )
     return _rank_topk(cand, qid_col, meta["id_col"], k)

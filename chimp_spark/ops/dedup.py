@@ -178,7 +178,22 @@ def _tokenize_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     for j in range(_HASH_PREFIX):
         h = (h ^ mat[:, j]) * _FNV_PRIME
     h ^= lens.astype(np.uint64) << np.uint64(1)
-    return _splitmix64(h), doc_offsets
+    h = _splitmix64(h)
+    keep = lens > 0
+    if not bool(keep.all()):
+        # split_pattern emits EMPTY tokens for empty strings and
+        # repeated spaces; keeping them gives every empty/whitespace
+        # doc the same padded shingles — identical signatures that
+        # band-collide into O(m^2) candidates. Dropping them makes a
+        # word-less doc yield ZERO shingles (all-zero signature),
+        # which the band join filters out.
+        ndocs = doc_offsets.size - 1
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(doc_offsets))
+        counts = np.bincount(doc_idx[keep], minlength=ndocs)
+        new_off = np.zeros(ndocs + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_off[1:])
+        return h[keep], new_off
+    return h, doc_offsets
 
 
 def _shingle_hashes(
@@ -266,7 +281,19 @@ def lsh_candidate_pairs(
     """Band the signatures and equi-join on (band, band_key) -> (a, b)
     candidate pairs (a < b). Shuffle key is a 2-int tuple, never text.
     Works over any bottom-sketch column (word MinHash ``sig``, chargram
-    ``fp``) — the banding algebra is sketch-agnostic."""
+    ``fp``) — the banding algebra is sketch-agnostic.
+
+    ALL-ZERO signatures (docs with no shingles/k-grams: empty, null,
+    or shorter than the window) are dropped first: they'd all collide
+    in every band, and 10^6 empty crawl docs would materialize ~10^12
+    candidate rows — the O(n^2) blowup banding exists to avoid.
+    Empty-doc dedup is exact_dedup's job (byte-identical), not a
+    similarity question. Large groups of byte-identical NON-empty
+    docs have the same quadratic shape, which is why every end-to-end
+    lane documents exact-dedup-first."""
+    signatures = signatures.filter(
+        F.exists(sig_col, lambda x: x != F.lit(0))
+    )
     banded = signatures.select(
         "id",
         F.posexplode(
@@ -720,7 +747,11 @@ def simhash_candidate_pairs(
     use one whole 64-bit word per band — the web-scale shape where
     bucket sizes stay O(1) at 10^9+ docs."""
     sig = F.col("simhash")
-    keyed = sigs.select("id", "simhash")
+    # all-zero signatures = token-less docs; see lsh_candidate_pairs
+    # for why they must not enter the band join
+    keyed = sigs.select("id", "simhash").filter(
+        F.exists("simhash", lambda x: x != F.lit(0))
+    )
     if words is None:
         raise TypeError(
             "simhash_candidate_pairs: 'words' is required (pass the value "

@@ -191,11 +191,18 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
             payloads = b.column("payload")
             ws = b.column("width")
             hs = b.column("height")
-            feats = []
+            feats: list[np.ndarray | None] = []
+            dim = th * tw * 3 + 6
             for i in range(b.num_rows):
-                img = decode_image(
-                    payloads[i].as_py(), ws[i].as_py(), hs[i].as_py()
-                )
+                p = payloads[i].as_py()
+                w = ws[i].as_py()
+                h = hs[i].as_py()
+                if p is None or not w or not h:
+                    # null payload/metadata -> null feature row; the
+                    # old path crashed the whole batch on 'None <= 0'
+                    feats.append(None)
+                    continue
+                img = decode_image(p, w, h)
                 # nearest-neighbor resize via index striding (real)
                 yy = (np.arange(th) * img.shape[0] // th).astype(np.int64)
                 xx = (np.arange(tw) * img.shape[1] // tw).astype(np.int64)
@@ -204,10 +211,16 @@ def image_features(df: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame
                     [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0]
                 ).astype(np.float32)
                 feats.append(np.concatenate([small.ravel(), summary]))
-            arr = pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32)),
-                th * tw * 3 + 6,
-            ).cast(pa.list_(pa.float32()))
+            if any(f is None for f in feats):
+                arr = pa.array(
+                    [None if f is None else f.tolist() for f in feats],
+                    pa.list_(pa.float32()),
+                )
+            else:
+                arr = pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32)),
+                    dim,
+                ).cast(pa.list_(pa.float32()))
             yield pa.RecordBatch.from_arrays([ids, arr], names=["media_id", "feat"])
 
     return df.select("media_id", "payload", "width", "height").mapInArrow(
@@ -226,12 +239,13 @@ def audio_frames(df: DataFrame, frame_ms: int = 250) -> DataFrame:
         for b in batches:
             out_id, out_frame, out_rms = [], [], []
             for i in range(b.num_rows):
-                pcm = _decode_audio_stub(
-                    b.column("payload")[i].as_py(),
-                    b.column("sample_rate")[i].as_py(),
-                    b.column("duration_ms")[i].as_py(),
-                )
-                spf = max(int(b.column("sample_rate")[i].as_py() * frame_ms / 1000), 1)
+                payload = b.column("payload")[i].as_py()
+                sr = b.column("sample_rate")[i].as_py()
+                dur = b.column("duration_ms")[i].as_py()
+                if payload is None or not sr or not dur:
+                    continue  # null media row -> no frames, not a crash
+                pcm = _decode_audio_stub(payload, sr, dur)
+                spf = max(int(sr * frame_ms / 1000), 1)
                 nfr = len(pcm) // spf
                 if nfr:
                     mat = pcm[: nfr * spf].reshape(nfr, spf)

@@ -22,6 +22,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import id_ddl
+
 
 def _cosine_expr(col: str, query: list[float]):
     q = F.array(*[F.lit(float(x)) for x in query])
@@ -73,6 +75,32 @@ def _dense_matrix(vecs: pa.Array, dim: int, n_rows: int) -> np.ndarray:
     return flat.reshape(n_rows, dim) if n_rows else flat.reshape(0, dim)
 
 
+def probe_buckets(sig: int, nbits: int, multiprobe: int) -> list[int]:
+    """The query bucket plus every bucket within ``multiprobe`` bit
+    flips — sum_{j<=m} C(nbits, j) probes, driver-side math only.
+    Bounded at 4096 probes: past that the isin literal list bloats
+    the plan and the probe set stops pruning anything."""
+    from itertools import combinations
+    from math import comb
+
+    m = min(max(multiprobe, 0), nbits)
+    total = sum(comb(nbits, j) for j in range(m + 1))
+    if total > 4096:
+        raise ValueError(
+            f"multiprobe={multiprobe} over {nbits} bits expands to "
+            f"{total} probe buckets (> 4096): use fewer flips, fewer "
+            f"bits, or more tables"
+        )
+    out = {sig}
+    for j in range(1, m + 1):
+        for bits in combinations(range(nbits), j):
+            f = sig
+            for b in bits:
+                f ^= 1 << b
+            out.add(f)
+    return sorted(out)
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).astype(np.float32)
@@ -99,7 +127,9 @@ def rp_signatures(
             sig = ((proj > 0) @ weights).astype(np.int64)
             yield pa.RecordBatch.from_arrays([ids, pa.array(sig)], names=["id", "bucket"])
 
-    return sel.mapInArrow(kernel, "id long, bucket long")
+    # the caller's id type rides through (string url keys work, same
+    # as the minhash/simhash/ann_index kernels)
+    return sel.mapInArrow(kernel, f"id {id_ddl(sel)}, bucket long")
 
 
 def rp_signatures_multi(
@@ -132,7 +162,7 @@ def rp_signatures_multi(
                     names=["t", "id", "bucket"],
                 )
 
-    return sel.mapInArrow(kernel, "t int, id long, bucket long")
+    return sel.mapInArrow(kernel, f"t int, id {id_ddl(sel)}, bucket long")
 
 
 def ann_params(n_vectors: int, target_bucket: int = 256, tables: int = 4) -> dict:
@@ -152,10 +182,11 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
     multiprobe: int = 1, tables: int = 1,
 ) -> DataFrame:
-    """ANN: probe the query's bucket (+ single-bit-flip neighbors up to
-    ``multiprobe`` flips) in each of ``tables`` independent hyperplane
-    tables, union the candidates, rank exactly within them. Recall at
-    a given corpus size is tuned with (nbits, tables) — see ann_params."""
+    """ANN: probe the query's bucket plus every bucket within
+    ``multiprobe`` bit flips in each of ``tables`` independent
+    hyperplane tables, union the candidates, rank exactly within
+    them. Recall at a given corpus size is tuned with (nbits, tables)
+    — see ann_params."""
     from functools import reduce
 
     dim = len(query)
@@ -165,10 +196,10 @@ def lsh_bucketed_topk(
     for t in range(tables):
         planes = _hyperplanes(dim, nbits, seed + 1009 * t)
         qsig = int(((q @ planes.T) > 0) @ weights)
-        probes = {qsig}
-        if multiprobe >= 1:
-            probes |= {qsig ^ (1 << b) for b in range(nbits)}
-        conds.append((F.col("t") == t) & F.col("bucket").isin(sorted(probes)))
+        conds.append(
+            (F.col("t") == t)
+            & F.col("bucket").isin(probe_buckets(qsig, nbits, multiprobe))
+        )
     # ONE corpus pass computes every table's signatures (was one scan
     # per table); for repeated queries use ops.ann_index instead
     sigs = rp_signatures_multi(df, dim, nbits, tables, id_col, vec_col, seed)
@@ -243,7 +274,7 @@ def ivf_assign(
                 [ids, pa.array(assign)], names=["id", "list_id"]
             )
 
-    return sel.mapInArrow(kernel, "id long, list_id int")
+    return sel.mapInArrow(kernel, f"id {id_ddl(sel)}, list_id int")
 
 
 def ivf_topk(

@@ -1115,3 +1115,92 @@ def test_ann_append_legacy_manifest_without_id_type(spark, embeddings, tmp_path)
     with pytest.raises(ValueError, match="stored"):
         ann_index.build_lsh_index(keyed, root2, dim=64, nbits=4, tables=1,
                                   append=True, fingerprint="s2")
+
+
+def test_probe_buckets_multibit_expansion():
+    """multiprobe=m must expand to ALL buckets within m bit flips —
+    the old code generated single-bit flips for every m >= 1
+    (review-found silent recall loss)."""
+    from math import comb
+
+    from chimp_spark.ops.similarity import probe_buckets
+
+    p1 = probe_buckets(0b1010, 8, 1)
+    assert len(p1) == 1 + 8
+    p2 = probe_buckets(0b1010, 8, 2)
+    assert len(p2) == 1 + 8 + comb(8, 2)
+    assert (0b1010 ^ 0b101) in p2   # a 2-bit flip
+    assert (0b1010 ^ 0b101) not in p1
+    assert probe_buckets(5, 4, 0) == [5]
+    with pytest.raises(ValueError, match="4096"):
+        probe_buckets(0, 32, 3)  # C(32,3) alone is 4960
+
+
+def test_string_keyed_vector_ops(spark, embeddings):
+    """rp_signatures / lsh_bucketed_topk / ivf_assign must carry a
+    STRING id column through (they hardcoded 'id long' while every
+    text-dedup kernel already honored the caller's type)."""
+    from chimp_spark.ops.similarity import ivf_centroids, ivf_assign, rp_signatures
+
+    keyed = embeddings.select(
+        F.concat(F.lit("u"), F.col("vec_id")).alias("url"), "embedding"
+    )
+    sigs = rp_signatures(keyed, dim=64, nbits=6, id_col="url").limit(5).collect()
+    assert all(isinstance(r["id"], str) for r in sigs)
+
+    row = keyed.limit(1).collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    top = similarity.lsh_bucketed_topk(keyed, q, k=3, nbits=6, id_col="url")
+    assert top.limit(1).collect()[0]["url"].startswith("u")
+
+    cent = ivf_centroids(keyed, 64, 8, id_col="url")
+    asg = ivf_assign(keyed, cent, id_col="url").limit(5).collect()
+    assert all(isinstance(r["id"], str) for r in asg)
+
+
+def test_ivf_overlapping_append_no_duplicate_candidates(spark, embeddings, tmp_path):
+    """An id indexed by two epochs (overlapping append, distinct
+    fingerprints — accepted by design) must not appear twice in
+    top-k (review finding: IVF paths lacked the LSH dedupe)."""
+    from chimp_spark.ops import ann_index
+
+    emb = embeddings.select("vec_id", "embedding")
+    root = str(tmp_path / "ivf_dup")
+    ann_index.build_ivf_index(emb, root, dim=64, n_centroids=8,
+                              fingerprint="all")
+    overlap = emb.filter(F.col("vec_id") < 30)
+    ann_index.build_ivf_index(overlap, root, dim=64, n_centroids=8,
+                              append=True, fingerprint="overlap-slice")
+    q = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    got = ann_index.ivf_index_topk(spark, root, q, k=10, nprobe=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)), ids
+    qdf = spark.createDataFrame([(1, q)], "qid long, embedding array<float>")
+    gotb = ann_index.ivf_index_topk_batch(spark, root, qdf, k=10, nprobe=8).collect()
+    idsb = [r["vec_id"] for r in gotb]
+    assert len(idsb) == len(set(idsb)), idsb
+
+
+def test_empty_docs_never_enter_band_joins(spark):
+    """Docs with no shingles/tokens (empty, null, too-short text) get
+    all-zero signatures; banding must DROP them — 10^6 empty crawl
+    docs would otherwise self-join into ~10^12 candidate pairs. The
+    end-to-end dedups keep the empties (byte-identical dedup is
+    exact_dedup's job, not a similarity question)."""
+    rows = [(i, "") for i in range(50)] + [(100 + i, None) for i in range(50)]
+    rows += [(200, "real document with several words of content here"),
+             (201, "real document with several words of content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dedup.minhash_signatures(df)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    got = cands.collect()
+    assert {(r["a"], r["b"]) for r in got} == {(200, 201)}  # no empty-empty pairs
+
+    ssigs = dedup.simhash_signatures(df)
+    spairs = dedup.simhash_candidate_pairs(ssigs, max_hamming=0, words=1)
+    assert {(r["a"], r["b"]) for r in spairs.collect()} == {(200, 201)}
+
+    fps = dedup.chargram_minhash_signatures(df, num_hashes=8)
+    cpairs = dedup.lsh_candidate_pairs(fps, bands=4, rows_per_band=2, sig_col="fp")
+    assert {(r["a"], r["b"]) for r in cpairs.collect()} == {(200, 201)}
