@@ -53,6 +53,7 @@ long chimp_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, int 
             lead = LD[tmp >> 6];
             int center = tmp & 63; if (!center) center = 64;
             int trail = 64 - center - lead;
+            if (trail < 0) return -1; /* corrupt header: negative shift is UB */
             if (pos + center > end) { if (sentinel) return cnt; return -1; }
             curr ^= rd(w, pos, center) << trail; pos += center;
         } else if (flag == 2) {
@@ -92,6 +93,7 @@ long chimpn_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, int
             lead = LD[(tmp >> 6) & 7];
             curr = ring[(tmp >> 9) & 127];
             if (!center) center = 64;
+            if (64 - center - lead < 0) return -1; /* corrupt header */
             if (pos + center > end) { if (sentinel) return cnt; return -1; }
             curr ^= rd(w, pos, center) << (64 - center - lead); pos += center;
         } else if (flag == 2) {
@@ -170,6 +172,7 @@ long gorilla_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, in
                 trail = 64 - lead - center;
             }
             int center = 64 - lead - trail;
+            if (center < 0 || trail < 0) return -1; /* corrupt header */
             if (pos + center > end) { if (sentinel) return cnt; return -1; }
             curr ^= rd(w, pos, center) << trail; pos += center;
         }

@@ -17,7 +17,7 @@ import os
 import tempfile
 import zipfile
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _package_zip() -> str:
@@ -30,13 +30,17 @@ def _package_zip() -> str:
             if f.endswith(".py"):
                 files.append(os.path.join(dirpath, f))
     h = hashlib.sha256()
+    root = os.path.dirname(pkg_dir)
     for f in sorted(files):
+        # the PATH is part of the identity: renaming a module with
+        # unchanged contents must invalidate the cached zip, or the
+        # stale layout ships and workers ModuleNotFoundError
+        h.update(os.path.relpath(f, root).encode() + b"\x00")
         with open(f, "rb") as fh:
             h.update(fh.read())
     out = os.path.join(tempfile.gettempdir(), f"chimp_spark_pkg_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(out):
         tmp = out + f".{os.getpid()}.tmp"
-        root = os.path.dirname(pkg_dir)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for f in sorted(files):
                 z.write(f, os.path.relpath(f, root))
@@ -50,7 +54,14 @@ def ensure(spark) -> None:
         sc = spark.sparkContext
     except Exception:
         return
-    key = id(sc)
+    # key by applicationId, NOT id(sc): after spark.stop() a new
+    # context's wrapper can reuse the freed object address, and the
+    # stale id would skip addPyFile for the new context — the exact
+    # ModuleNotFoundError this module exists to prevent
+    try:
+        key = sc.applicationId
+    except Exception:
+        key = str(id(sc))
     if key in _SHIPPED:
         return
     try:

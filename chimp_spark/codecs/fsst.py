@@ -276,11 +276,13 @@ def encode(offsets: np.ndarray, data: np.ndarray, symbols: list[bytes] | None = 
     offsets = offsets.astype(np.int64, copy=False)
     n = offsets.size - 1
     if symbols is None:
-        # train on an evenly-spaced sample of strings
+        # train on an evenly-spaced sample of strings; slice only the
+        # sampled bytes — a whole-buffer tobytes() copied the full
+        # multi-MB chunk just to read <=64 KB of training sample
         step = max(1, n // 256)
-        raw = data.tobytes()
         sample = [
-            raw[int(offsets[i]) : int(offsets[i + 1])] for i in range(0, n, step)
+            data[int(offsets[i]) : int(offsets[i + 1])].tobytes()
+            for i in range(0, n, step)
         ]
         symbols = train(sample)
     lens, codes = compress_strings(offsets, data, symbols)

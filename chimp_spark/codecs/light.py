@@ -352,6 +352,16 @@ def xor_split_decode(buf: memoryview, n_unused: int = 0) -> np.ndarray:
     if nat is not None:
         ctrl = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8, count=m, offset=12))
         payload = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8, offset=12 + m))
+        need = int((ctrl >> 3).astype(np.int64).sum())
+        if need > payload.size:
+            # C xs_dec trusts the ctrl stream's byte counts — on a
+            # truncated frame it would read past the buffer and
+            # return garbage as a successful decode (the python
+            # twin's frombuffer raises for the same input)
+            raise ValueError(
+                f"xor_split frame truncated: ctrl stream needs {need} "
+                f"payload bytes, frame has {payload.size}"
+            )
         if payload.size == 0:
             payload = np.zeros(1, dtype=np.uint8)
         nat["xs_dec"](ctrl, m, payload, first, out)
@@ -389,8 +399,6 @@ def xor_split_decode(buf: memoryview, n_unused: int = 0) -> np.ndarray:
 def bss_encode(vals: np.ndarray, level: int = 2) -> bytes:
     """<u8 itemsize><u8 lane-compressed bitmask> + per lane
     <u32 len><bytes>: lane i deflated iff bit i set (raw otherwise)."""
-    import zlib
-
     # lanes are defined over LITTLE-ENDIAN words (the module-wide
     # payload invariant); on BE hosts this astype byteswaps, on LE
     # it's a no-op view
@@ -413,8 +421,6 @@ def bss_encode(vals: np.ndarray, level: int = 2) -> bytes:
 
 
 def bss_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
-    import zlib
-
     itemsize, mask = struct.unpack_from("<BB", buf, 0)
     pos = 2
     lanes = np.empty((n, itemsize), dtype=np.uint8)

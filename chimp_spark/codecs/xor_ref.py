@@ -285,6 +285,10 @@ def chimp_decode(
         raise EOFError("stream too short")
 
     def read(pos: int, nb: int) -> int:
+        if pos + nb > end:
+            # mid-record truncation: raise the same EOFError the C
+            # twin does, not an IndexError from wl[w + 1]
+            raise EOFError("chimp stream truncated")
         w = pos >> 6
         s = pos & 63
         room = 64 - s
@@ -342,6 +346,11 @@ def chimp_decode(
         count += 1
         if pos > end:
             raise EOFError("chimp stream truncated")
+    if n_values is not None and count < max_records:
+        # the record supply ran out before n_values: silently
+        # returning a short array would pair wrong values with an
+        # n-length validity bitmap downstream (C twin raises here too)
+        raise EOFError("chimp stream truncated")
 
     xors = unpack_fields(
         words,
@@ -449,6 +458,8 @@ def gorilla_decode(
         raise EOFError("stream too short")
 
     def read(pos: int, nb: int) -> int:
+        if pos + nb > end:
+            raise EOFError("gorilla stream truncated")  # not IndexError
         w = pos >> 6
         s = pos & 63
         room = 64 - s
@@ -495,6 +506,8 @@ def gorilla_decode(
             if pos > end:
                 raise EOFError("gorilla stream truncated")
         count += 1
+    if n_values is not None and count < max_records:
+        raise EOFError("gorilla stream truncated")  # never return short
 
     xors = unpack_fields(
         words,

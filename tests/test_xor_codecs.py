@@ -173,3 +173,47 @@ def test_gorilla_sentinel_repetitive_stream():
     words, _ = X.gorilla_encode(vals, reference_close=True)
     out = X.gorilla_decode(words, sentinel=True)
     np.testing.assert_array_equal(out, vals)
+
+
+def test_truncated_streams_raise_not_garbage(monkeypatch):
+    """Truncated/corrupt frames must RAISE on both decode paths —
+    review-confirmed: the native xor_split read past the payload
+    buffer (silent garbage), and the pure-python chimp/gorilla
+    decoders returned SHORT arrays or IndexError instead of EOFError."""
+    import struct as _struct
+
+    from chimp_spark import _native
+    from chimp_spark.codecs import light as L
+
+    rng = np.random.default_rng(5)
+    vals = (100.0 + np.cumsum(rng.standard_normal(200) * 0.25)).view(np.uint64)
+
+    # xor_split: truncate payload; both paths must raise
+    frame = L.xor_split_encode(vals)
+    cut = memoryview(frame[: len(frame) - 10])
+    with pytest.raises(ValueError):
+        L.xor_split_decode(cut)
+    real = _native.get()
+    monkeypatch.setattr(_native, "_FUNCS", {})  # force pure-python
+    with pytest.raises(ValueError):
+        L.xor_split_decode(cut)
+    monkeypatch.setattr(_native, "_FUNCS", real or {})
+
+    # chimp / gorilla framed mode: asking for more values than the
+    # stream holds must raise EOFError on BOTH paths, never return a
+    # short array (and never IndexError)
+    # gorilla note: its flag-0 record is ONE bit, so word padding
+    # can decode as up to 63 bogus "repeat" records — asking for 500
+    # exhausts any padding; the frame's exact n + checksum guard the
+    # real decode path
+    for enc, dec in ((X.chimp_encode, X.chimp_decode),
+                     (X.gorilla_encode, X.gorilla_decode)):
+        words, _bits = enc(vals[:10])
+        for funcs in (real or {}, {}):
+            monkeypatch.setattr(_native, "_FUNCS", funcs)
+            with pytest.raises(EOFError):
+                dec(words, n_values=500)
+            # truncating words mid-stream: EOFError, not IndexError
+            with pytest.raises(EOFError):
+                dec(words[: max(len(words) // 2, 2)], n_values=10)
+        monkeypatch.setattr(_native, "_FUNCS", real or {})
