@@ -386,9 +386,11 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       configured weights
     - ``layout_violations``: committed partitions == ceil(n/chunk_rows)
       (encode layout sized by the pipeline, not the dedup shuffle)
-    - ``pack_missing_docs`` / ``pack_over_budget`` / ``pack_empty``:
-      greedy sequence-packing invariants (every doc packed exactly
-      once, no multi-doc pack over budget, no empty pack) — folded in
+    - ``pack_missing_docs`` / ``pack_dup_docs`` / ``pack_over_budget``
+      / ``pack_empty``: greedy sequence-packing invariants (every doc
+      packed EXACTLY once — anti-join + per-id dup count, not a net
+      sum that double-pack-plus-drop would cancel; no multi-doc pack
+      over budget; no empty pack) — folded in
       here because the driver records at most 50 query rows and r4's
       separate ``pack_invariant_documents`` row was the casualty
     """
@@ -405,8 +407,13 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs, root, min_quality=0.3, chunk_rows=4096,
             table_name="documents",
         )
-        with open(stats_path, "w") as f:
+        # atomic: a crash mid-dump at this content-keyed path would
+        # poison the cache permanently (the key never changes, so it
+        # would never self-heal)
+        tmp = stats_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(stats, f)
+        os.replace(tmp, stats_path)
     c = stats["counts"]
     t = engine.EncodedTable(root)
     dec = engine.decode_table(
@@ -425,17 +432,29 @@ def _corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chimp_spark.ops import text as T
 
     lens = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
-    packed = chunking.pack_sequences(lens, budget=512, num_partitions=8)
+    packed = chunking.pack_sequences(lens, budget=512, num_partitions=8).cache()
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("tot"), F.count("*").alias("docs")
     )
-    n_in = lens.count()
-    pack_row = per_pack.agg(
-        (F.lit(n_in) - F.sum("docs")).alias("pack_missing_docs"),
+    # EXACTLY-once per doc, not a net count (a doc packed twice offset
+    # by a dropped doc would cancel to zero): anti-join for missing,
+    # per-id count for duplicates
+    missing = lens.join(packed.select("doc_id"), "doc_id", "left_anti").count()
+    dup_packed = (
+        packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    pr = per_pack.agg(
         F.sum(
             F.when((F.col("tot") > 512) & (F.col("docs") > 1), 1).otherwise(0)
-        ).alias("pack_over_budget"),
-        F.sum(F.when(F.col("docs") < 1, 1).otherwise(0)).alias("pack_empty"),
+        ).alias("over"),
+        F.sum(F.when(F.col("docs") < 1, 1).otherwise(0)).alias("empty"),
+    ).collect()[0]
+    packed.unpersist()
+    pack_row = spark.range(1).select(
+        F.lit(missing).alias("pack_missing_docs"),
+        F.lit(dup_packed).alias("pack_dup_docs"),
+        F.lit(int(pr["over"] or 0)).alias("pack_over_budget"),
+        F.lit(int(pr["empty"] or 0)).alias("pack_empty"),
     )
     return dec.agg(
         F.count("*").alias("rows"),
@@ -905,18 +924,22 @@ def _pages_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = engine.decode_table(
         enc, cols, "url string, warc_ts timestamp, html binary, text string, lang string"
     )
-    j = dec.alias("d").join(pages.alias("o"), "url")
+    # FULL outer join + null-safe compares: an inner join would drop
+    # rows whose decoded url was corrupted/lost, and plain != yields
+    # NULL (counted as "no mismatch") when a decode nulls a field
+    j = dec.alias("d").join(pages.alias("o"), "url", "full_outer")
+    bad = ~(
+        F.col("d.text").eqNullSafe(F.col("o.text"))
+        & F.col("d.html").eqNullSafe(F.col("o.html"))
+        & F.col("d.lang").eqNullSafe(F.col("o.lang"))
+        & F.col("d.warc_ts").eqNullSafe(F.col("o.warc_ts"))
+    )
     return j.agg(
         F.count("*").alias("rows"),
-        F.sum(
-            F.when(
-                (F.col("d.text") != F.col("o.text"))
-                | (F.col("d.html") != F.col("o.html"))
-                | (F.col("d.lang") != F.col("o.lang"))
-                | (F.col("d.warc_ts") != F.col("o.warc_ts")),
-                1,
-            ).otherwise(0)
-        ).alias("mismatches"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("mismatches"),
+        # pages_df is deterministic: any decode-side loss/dup shows as
+        # a row-count violation even if every surviving row matches
+        F.when(F.count("*") == 20_000, 0).otherwise(1).alias("count_violations"),
     )
 
 
@@ -935,7 +958,10 @@ def entry(spark: SparkSession) -> DataFrame:
         enc, ["l_orderkey", "l_extendedprice"], "l_orderkey long, l_extendedprice double"
     )
     src = df.select("l_orderkey", "l_extendedprice")
-    mism = src.exceptAll(dec.select("l_orderkey", "l_extendedprice")).count()
+    got = dec.select("l_orderkey", "l_extendedprice")
+    # BOTH directions: src.exceptAll(got) alone cannot see extra or
+    # duplicated decoded rows, only missing ones
+    mism = src.exceptAll(got).count() + got.exceptAll(src).count()
     out = summary.withColumn("roundtrip_mismatches", F.lit(mism))
     return out
 

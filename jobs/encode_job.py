@@ -46,6 +46,10 @@ def main() -> None:
     p.add_argument("--no-scan", action="store_true",
                    help="force the generic DataFrame encode path")
     args = p.parse_args()
+    if args.scan and (args.salt_key or args.range_key or args.partitions):
+        p.error("--scan cannot honor --salt-key/--range-key/--partitions "
+                "(the Arrow scan path reads row groups in place, no "
+                "shuffle layout); drop --scan to use a layout")
 
     from pyspark.sql import SparkSession
 
@@ -101,7 +105,16 @@ def main() -> None:
         units = parquet_work_units(resolve_paths(args.input), spark)
         fp = units_fingerprint(units)
         done = t.completed_scan_units(args.table, fp) if not args.no_resume else None
-        cols = args.columns.split(",") if args.columns else None
+        cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+        if isinstance(codec, dict):
+            import pyarrow.parquet as _pq
+
+            schema_cols = set(_pq.read_schema(units[0][1]).names) if units else set()
+            unknown = set(codec) - (set(cols) if cols else schema_cols)
+            if unknown:
+                p.error(f"--codec: column(s) {sorted(unknown)} not in the "
+                        f"input schema — the override would be silently "
+                        f"ignored (columns encode as auto)")
         enc = encode_parquet(spark, args.input, columns=cols, codec=codec,
                              chunk_rows=args.chunk_rows, table_name=args.table,
                              skip_part_ids=done, units=units)
@@ -123,7 +136,12 @@ def main() -> None:
     else:
         df = repartition_balanced(df, parts)
 
-    cols = args.columns.split(",") if args.columns else None
+    cols = [c.strip() for c in args.columns.split(",")] if args.columns else None
+    if isinstance(codec, dict):
+        unknown = set(codec) - set(cols or df.columns)
+        if unknown:
+            p.error(f"--codec: column(s) {sorted(unknown)} not in the input "
+                    f"schema — the override would be silently ignored")
     stats = encode_and_commit(
         spark, df, args.output, args.table, columns=cols, codec=codec,
         chunk_rows=args.chunk_rows, resume=not args.no_resume,
