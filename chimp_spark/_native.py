@@ -182,6 +182,153 @@ long gorilla_dec(const uint64_t* w, long nwords, uint64_t* out, long max_out, in
     return cnt;
 }
 
+/* Chimp encoded size in BITS without materializing the stream — the
+   plan phase of chimp_encode (flag widths per chimp.rs:63-85) as one
+   sequential walk. Used by the selector's trial sizing: a trial needs
+   only the length, so the pack stage (and the vectorized plan's
+   clz/ctz passes) are pure overhead. Must stay bit-for-bit consistent
+   with chimp_encode's plan: same rounding table, same state update
+   (state <- rounded lead after every non-zero record). */
+long chimp_size_bits(const uint64_t* bits, long n) {
+    static const int ROUND[65] = {
+        0,0,0,0,0,0,0,0, 8,8,8,8, 12,12,12,12,
+        16,16,18,18,20,20,22,22,
+        24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,
+        24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,24,
+        24,24,24,24,24,24,24,24, 24};
+    if (n == 0) return 0;
+    long total = 64;
+    int state = -1;
+    uint64_t prev = bits[0];
+    for (long i = 1; i < n; i++) {
+        uint64_t x = bits[i] ^ prev;
+        prev = bits[i];
+        if (!x) { total += 2; continue; }
+        int lead = ROUND[__builtin_clzll(x)];
+        if ((x & 0xFF) == 0) {
+            int tz = __builtin_ctzll(x);
+            total += 11 + (64 - lead - tz);
+        } else if (lead == state) {
+            total += 2 + (64 - lead);
+        } else {
+            total += 5 + (64 - lead);
+        }
+        state = lead;
+    }
+    return total;
+}
+
+/* dec_for verify+scale fused: out[i] = round(vals[i] * 10^k) with the
+   EXACT numpy semantics (rint = round-half-to-even, |rounded| < 2^53,
+   int64/10^k must reproduce the input bit pattern). One pass instead
+   of numpy's five (mul, rint, abs-max, cast, div+compare). Caller
+   guarantees vals are finite. Returns 1 on success, 0 if any value
+   fails (matching the all-or-nothing numpy check). */
+int dec_verify_scale(const double* vals, long n, int k, int64_t* out) {
+    static const double P10[5] = {1.0, 10.0, 100.0, 1000.0, 10000.0};
+    double mult = (k >= 0 && k <= 4) ? P10[k] : 1.0;
+    if (k < 0 || k > 4) { double m = 1.0; for (int i = 0; i < k; i++) m *= 10.0; mult = m; }
+    for (long i = 0; i < n; i++) {
+        double r = __builtin_rint(vals[i] * mult);
+        if (!(r > -9007199254740992.0 && r < 9007199254740992.0)) return 0;
+        int64_t iv = (int64_t)r;
+        double recon = (double)iv / mult;
+        uint64_t a, b;
+        memcpy(&a, &recon, 8); memcpy(&b, &vals[i], 8);
+        if (a != b) return 0;
+        out[i] = iv;
+    }
+    return 1;
+}
+
+/* First-occurrence dictionary encode over an (offsets, data) string
+   block — the semantics of pyarrow's Array.dictionary_encode (codes
+   assigned in order of first appearance), one open-addressed pass.
+   codes[i] = dict code of string i; first_row[c] = row index of code
+   c's first occurrence (the dictionary is block[first_row[0..card)]).
+   Returns card, or -1 when card would exceed max_card (caller falls
+   back to the library path). */
+long dict_encode_block(const uint8_t* data, const int64_t* offs, long n,
+                       int64_t* codes, int64_t* first_row, long max_card) {
+    enum { HBITS = 17, HSIZE = 1 << 17 };  /* 2x max chunk rows */
+    static _Thread_local int32_t slot[HSIZE];
+    static _Thread_local uint32_t stamp[HSIZE];
+    static _Thread_local uint32_t epoch = 0;
+    /* short-string key cache per dict code: length + first 8 bytes —
+       the common case (flags, enums, langs) compares as one u64 */
+    static _Thread_local uint64_t kword[1 << 16];
+    static _Thread_local int64_t klen[1 << 16];
+    if (n > (HSIZE >> 1) || max_card > (1 << 16)) return -1;
+    if (++epoch == 0) { memset(stamp, 0, sizeof(stamp)); epoch = 1; }
+    long card = 0;
+    /* all-strings-<=2-bytes fast path: (len<<16)|bytes is a perfect
+       18-bit key, so codes resolve by one direct table load per row */
+    long max_len = 0;
+    for (long i = 0; i < n; i++) {
+        long len = offs[i + 1] - offs[i];
+        if (len > max_len) max_len = len;
+        if (max_len > 2) break;
+    }
+    if (max_len <= 2) {
+        enum { DSIZE = 1 << 18 };
+        static _Thread_local int32_t dslot[DSIZE];
+        static _Thread_local uint32_t dstamp[DSIZE];
+        static _Thread_local uint32_t depoch = 0;
+        if (++depoch == 0) { memset(dstamp, 0, sizeof(dstamp)); depoch = 1; }
+        for (long i = 0; i < n; i++) {
+            long len = offs[i + 1] - offs[i];
+            uint32_t w2 = 0;
+            memcpy(&w2, data + offs[i], len);
+            uint32_t key = ((uint32_t)len << 16) | w2;
+            if (dstamp[key] != depoch) {
+                if (card >= max_card) return -1;
+                dstamp[key] = depoch;
+                dslot[key] = (int32_t)card;
+                first_row[card] = i;
+                codes[i] = card++;
+            } else {
+                codes[i] = dslot[key];
+            }
+        }
+        return card;
+    }
+    for (long i = 0; i < n; i++) {
+        const uint8_t* s = data + offs[i];
+        long len = offs[i + 1] - offs[i];
+        uint64_t w = 0, h;
+        if (len <= 8) {
+            memcpy(&w, s, len);
+            h = (w ^ (uint64_t)len) * 0x9E3779B97F4A7C15ULL;
+            h ^= h >> 29; h *= 0xBF58476D1CE4E5B9ULL;
+        } else {
+            h = 1469598103934665603ULL;          /* FNV-1a */
+            for (long b = 0; b < len; b++) { h ^= s[b]; h *= 1099511628211ULL; }
+        }
+        uint32_t pos = (uint32_t)(h >> (64 - HBITS));
+        for (;;) {
+            int32_t c = (stamp[pos] == epoch) ? slot[pos] : -1;
+            if (c < 0) {
+                if (card >= max_card) return -1;
+                slot[pos] = (int32_t)card;
+                stamp[pos] = epoch;
+                first_row[card] = i;
+                kword[card] = w;
+                klen[card] = len;
+                codes[i] = card++;
+                break;
+            }
+            if (klen[c] == len &&
+                (len <= 8 ? (kword[c] == w)
+                          : memcmp(data + offs[first_row[c]], s, len) == 0)) {
+                codes[i] = c;
+                break;
+            }
+            pos = (pos + 1) & (HSIZE - 1);
+        }
+    }
+    return card;
+}
+
 /* last-previous-occurrence of each value's 14 LSBs: the ring-buffer
    candidate search of Chimp128/Patas as one O(n) table walk. */
 void prev_same_lsb(const uint64_t* bits, long n, int64_t dflt, int64_t* prev) {
@@ -508,6 +655,15 @@ def _build() -> dict | None:
     lib.patas_dec.argtypes = [u8p, ctypes.c_long, u64p, ctypes.c_long, ctypes.c_int]
     lib.prev_same_lsb.restype = None
     lib.prev_same_lsb.argtypes = [u64p, ctypes.c_long, ctypes.c_int64, i64p]
+    lib.chimp_size_bits.restype = ctypes.c_long
+    lib.chimp_size_bits.argtypes = [u64p, ctypes.c_long]
+    f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    lib.dec_verify_scale.restype = ctypes.c_int
+    lib.dec_verify_scale.argtypes = [f64p, ctypes.c_long, ctypes.c_int, i64p]
+    lib.dict_encode_block.restype = ctypes.c_long
+    lib.dict_encode_block.argtypes = [
+        u8p, i64p, ctypes.c_long, i64p, i64p, ctypes.c_long,
+    ]
     lib.bu_fixed.restype = None
     lib.bu_fixed.argtypes = [u8p, ctypes.c_long, ctypes.c_int, u64p]
     lib.bp_fixed.restype = None
@@ -534,6 +690,9 @@ def _build() -> dict | None:
     ]
     return {
         "prev_same_lsb": lib.prev_same_lsb,
+        "chimp_size_bits": lib.chimp_size_bits,
+        "dec_verify_scale": lib.dec_verify_scale,
+        "dict_encode_block": lib.dict_encode_block,
         "bu_fixed": lib.bu_fixed,
         "bp_fixed": lib.bp_fixed,
         "xs_enc": lib.xs_enc,

@@ -32,6 +32,21 @@ _U64 = np.uint64
 # bitstream.rs:103-120, to one vectorized pass)
 # ---------------------------------------------------------------------------
 
+import sys as _sys
+
+_LE_HOST = _sys.byteorder == "little"
+
+
+def _be_bytes(words: np.ndarray) -> bytes:
+    """words (host-endian u64, exclusively owned by the caller) ->
+    big-endian bytes. In-place byteswap on LE hosts skips the extra
+    array astype('>u8') would allocate."""
+    if _LE_HOST:
+        words.byteswap(inplace=True)
+        return words.tobytes()
+    return words.astype(">u8").tobytes()
+
+
 def bitpack(values: np.ndarray, width: int) -> bytes:
     """Pack non-negative uint64 values at fixed ``width`` bits, MSB-first."""
     n = values.size
@@ -47,12 +62,12 @@ def bitpack(values: np.ndarray, width: int) -> bytes:
         nat["bp_fixed"](
             np.ascontiguousarray(values, dtype=np.uint64), n, width, out
         )
-        return out[:nwords].astype(">u8").tobytes()
+        return _be_bytes(out[:nwords])
     out = np.zeros(nwords + 1, dtype=np.uint64)
     offsets = np.arange(n, dtype=np.int64) * width
     scatter_bits(out, offsets, values.astype(np.uint64, copy=False),
                  np.full(n, width, dtype=np.int64))
-    return out[:nwords].astype(">u8").tobytes()
+    return _be_bytes(out[:nwords])
 
 
 def bitunpack(buf: memoryview | bytes, n: int, width: int) -> np.ndarray:
@@ -72,6 +87,74 @@ def bitunpack(buf: memoryview | bytes, n: int, width: int) -> np.ndarray:
     words = np.frombuffer(buf, dtype=">u8", count=(n * width + 63) >> 6).astype("=u8")
     offsets = np.arange(n, dtype=np.uint64) * _U64(width)
     return unpack_fields(words, offsets, np.full(n, width, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# analytic frame sizes — exact len(encode(vals)) without encoding
+# ---------------------------------------------------------------------------
+# The FOR family's output length is a pure function of (n, bit width):
+# header + ceil(n*width/64) big-endian words. The selector's trials
+# only need lengths, so computing them from min/max/gcd stats skips
+# the bit-packing entirely; ts_chimp needs a real plan pass but not
+# the pack (chimp_size_bits). Pinned equal to the encoders by
+# tests/test_light_codecs.py::test_analytic_sizes_exact.
+
+def _bp_nbytes(n: int, width: int) -> int:
+    if width == 0 or n == 0:
+        return 0
+    return ((n * width + 63) >> 6) * 8
+
+
+def for_bitpack_size(vals: np.ndarray) -> int:
+    iv = vals.astype(np.int64, copy=False)
+    width = (int(iv.max()) - int(iv.min())).bit_length()
+    return 9 + _bp_nbytes(iv.size, width)
+
+
+def gcd_for_stats(vals: np.ndarray) -> tuple[int, int, int, int]:
+    """(frame size, lo, g, width) — the expensive full-chunk gcd is
+    computed once and reusable by gcd_for_encode via pre=."""
+    iv = vals.astype(np.int64, copy=False)
+    lo = int(iv.min())
+    rel = (iv - lo).view(np.uint64)
+    g = int(np.gcd.reduce(rel)) if rel.size else 0
+    if g <= 1:
+        g = 1
+    mx = int(rel.max()) if rel.size else 0
+    # max(rel // g) == max(rel) // g: dividing by one positive g is
+    # monotone over the unsigned distances
+    width = (mx // g).bit_length()
+    return 17 + _bp_nbytes(iv.size, width), lo, g, width
+
+
+def gcd_for_size(vals: np.ndarray) -> int:
+    return gcd_for_stats(vals)[0]
+
+
+def delta_bp_size(vals: np.ndarray) -> int:
+    iv = vals.astype(np.int64, copy=False)
+    if iv.size == 1:
+        return 8
+    d = np.diff(iv)  # wraps exactly like the encoder's np.diff
+    width = (int(d.max()) - int(d.min())).bit_length()
+    return 8 + 9 + _bp_nbytes(d.size, width)
+
+
+def ts_chimp_size(vals: np.ndarray) -> int:
+    iv = vals.astype(np.int64, copy=False)
+    if iv.size <= 1:
+        return 9
+    d = np.diff(iv)
+    zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
+    width = int(zz.max()).bit_length()
+    shift = 64 - max(width, 1)
+    total = X.chimp_size_bits(zz << np.uint64(shift))
+    return 9 + ((total + 63) >> 6) * 8
+
+
+def chimp_block_size(vals: np.ndarray) -> int:
+    bits = vals.view(np.uint64) if vals.dtype != np.uint64 else vals
+    return 8 + ((X.chimp_size_bits(bits) + 63) >> 6) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -131,18 +214,25 @@ def for_bitpack_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
 # out before FOR collapses the bit width (l_shipdate: 48 -> 13 bits).
 # Always exact: the divisor is computed on the full chunk and stored.
 
-def gcd_for_encode(vals: np.ndarray) -> bytes:
+def gcd_for_encode(
+    vals: np.ndarray, pre: tuple[int, int, int] | None = None
+) -> bytes:
     iv = vals.astype(np.int64, copy=False)
-    lo = int(iv.min())
-    # (iv - lo) can exceed int64 range (e.g. min=-2^62, max=2^62); the
-    # int64 subtraction wraps, so reinterpret as uint64 — the wrapped
-    # bit pattern IS the true unsigned distance
-    rel = (iv - lo).view(np.uint64)
-    g = int(np.gcd.reduce(rel)) if rel.size else 0
-    if g <= 1:
-        g = 1
+    if pre is not None:
+        lo, g, width = pre  # gcd_for_stats already paid the gcd scan
+        rel = (iv - lo).view(np.uint64)
+    else:
+        lo = int(iv.min())
+        # (iv - lo) can exceed int64 range (e.g. min=-2^62, max=2^62);
+        # the int64 subtraction wraps, so reinterpret as uint64 — the
+        # wrapped bit pattern IS the true unsigned distance
+        rel = (iv - lo).view(np.uint64)
+        g = int(np.gcd.reduce(rel)) if rel.size else 0
+        if g <= 1:
+            g = 1
+        mx = int(rel.max()) if rel.size else 0
+        width = (mx // g).bit_length()
     scaled = rel // np.uint64(g) if g > 1 else rel
-    width = int(scaled.max()).bit_length() if scaled.size else 0
     header = struct.pack("<qQB", lo, g, width)
     if width == 0:
         return header
@@ -247,6 +337,18 @@ def _dec_for_detect_iv(
     if k_hint is not None and k_hint in ks:
         ks.remove(k_hint)
         ks.insert(0, k_hint)
+    from .. import _native
+
+    nat = _native.get()
+    if nat is not None:
+        # fused C pass: rint/range-check/cast/div/bit-compare per value
+        # (exact numpy semantics — pinned by test_dec_verify_scale_parity)
+        v = np.ascontiguousarray(vals, dtype=np.float64)
+        out = np.empty(v.size, dtype=np.int64)
+        for k in ks:
+            if nat["dec_verify_scale"](v, v.size, k, out):
+                return k, out
+        return None
     for k in ks:
         mult = np.float64(10.0**k)
         iv = np.round(vals * mult)
@@ -277,11 +379,10 @@ def dec_for_encode(vals: np.ndarray, k_hint: int | None = None) -> bytes:
     if hit is None:
         raise NotDecimalError("chunk is not decimal-representable")
     k, iv = hit
-    for_blob = for_bitpack_encode(iv)
-    delta_blob = delta_bp_encode(iv) if iv.size else for_blob
-    if len(delta_blob) < len(for_blob):
-        return struct.pack("<BB", k, 1) + delta_blob
-    return struct.pack("<BB", k, 0) + for_blob
+    # analytic inner choice: only the winner is actually bit-packed
+    if iv.size and delta_bp_size(iv) < for_bitpack_size(iv):
+        return struct.pack("<BB", k, 1) + delta_bp_encode(iv)
+    return struct.pack("<BB", k, 0) + for_bitpack_encode(iv)
 
 
 def dec_for_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
@@ -458,7 +559,7 @@ def ts_chimp_encode(vals: np.ndarray) -> bytes:
     width = int(zz.max()).bit_length()
     shift = 64 - max(width, 1)
     words, _ = X.chimp_encode(zz << np.uint64(shift))
-    return struct.pack("<qB", int(iv[0]), shift) + words.astype(">u8").tobytes()
+    return struct.pack("<qB", int(iv[0]), shift) + _be_bytes(words)
 
 
 def ts_chimp_decode(buf: memoryview, n: int, dtype: np.dtype) -> np.ndarray:
@@ -485,7 +586,7 @@ def _xorwords_encode(enc):
     def f(vals: np.ndarray) -> bytes:
         bits = vals.view(np.uint64) if vals.dtype != np.uint64 else vals
         words, nbits = enc(bits)
-        return struct.pack("<Q", nbits) + words.astype(">u8").tobytes()
+        return struct.pack("<Q", nbits) + _be_bytes(words)
 
     return f
 

@@ -257,6 +257,43 @@ def chimp_encode(bits: np.ndarray, reference_close: bool = False) -> tuple[np.nd
     return words, total
 
 
+def chimp_size_bits(bits: np.ndarray) -> int:
+    """Total payload bits chimp_encode would produce, WITHOUT packing.
+
+    The selector's trials only need the length; this runs just the
+    plan (C single pass when available, else the vectorized numpy plan
+    minus the scatter). Pinned equal to chimp_encode's reported total
+    by tests/test_native_parity.py."""
+    bits = np.ascontiguousarray(bits, dtype=np.uint64)
+    n = bits.size
+    if n == 0:
+        return 0
+    nat = _native.get()
+    if nat is not None:
+        return int(nat["chimp_size_bits"](bits, n))
+    xor = bits[1:] ^ bits[:-1]
+    m = xor.size
+    if m == 0:
+        return 64
+    lead_u = LEADING_ROUND[np.minimum(clz64(xor), _U64(63)).astype(np.int64)]
+    tz = ctz64(xor).astype(np.int64)
+    lead = lead_u.astype(np.int64)
+    nz = xor != _U64(0)
+    low8 = (xor & _U64(0xFF)) == _U64(0)
+    last_nz = np.maximum.accumulate(np.where(nz, np.arange(m), -1))
+    prev_nz = np.empty(m, dtype=np.int64)
+    prev_nz[0] = -1
+    prev_nz[1:] = last_nz[:-1]
+    state = np.where(prev_nz >= 0, lead[np.maximum(prev_nz, 0)], np.int64(-1))
+    f1 = nz & low8
+    f23 = nz & ~low8
+    f3 = f23 & (lead != state)
+    center1 = np.int64(64) - lead - tz
+    hdr_w = 2 + f1 * np.int64(9) + f3 * np.int64(3)
+    pay_w = f1 * center1 + f23 * (np.int64(64) - lead)
+    return 64 + int(hdr_w.sum() + pay_w.sum())
+
+
 def chimp_decode(
     words: np.ndarray, n_values: int | None = None, sentinel: bool = False
 ) -> np.ndarray:

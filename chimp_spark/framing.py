@@ -293,8 +293,19 @@ def encode_chunk(
         checksum = zlib.crc32(data) ^ n
         if codec == "auto":
             codec, reason = choose_codec_str(offs, data, cache)
-        payload = _encode_str_payload(codec, offs, data, dense, cache)
-        stat_min_bin, stat_max_bin = _string_bounds(dense)
+        if codec in ("dict", "dict_rle"):
+            # one dictionary pass serves both the payload and the
+            # zone map: the dictionary holds exactly the distinct
+            # values present, so min/max over it equals min/max over
+            # the chunk at a fraction of the scan
+            codes, doffs, ddata = _dict_codes(offs, data, dense)
+            payload = L.str_dict_encode(
+                offs, data, codes, doffs, ddata, rle=(codec == "dict_rle")
+            )
+            stat_min_bin, stat_max_bin = _string_bounds(_binary_block_array(doffs, ddata))
+        else:
+            payload = _encode_str_payload(codec, offs, data, dense, cache)
+            stat_min_bin, stat_max_bin = _string_bounds(dense)
     elif dtype.startswith("list_"):
         # embedding-style list<numeric>: lengths FOR-bitpacked, flat
         # values through the numeric codec suite (auto-selected, so
@@ -391,6 +402,43 @@ def encode_chunk(
         stat_min_bin=stat_min_bin, stat_max_bin=stat_max_bin,
     )
     return blob, meta
+
+
+def _dict_codes(
+    offs: np.ndarray, data: np.ndarray, dense: pa.Array
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codes, dict_offsets, dict_data) with pyarrow dictionary_encode
+    semantics (codes in first-occurrence order). C single pass when
+    available; the library call is the fallback twin (pinned equal by
+    tests/test_light_codecs.py::test_dict_codes_parity)."""
+    from . import _native
+
+    nat = _native.get()
+    n = offs.size - 1
+    if nat is not None and n:
+        codes = np.empty(n, dtype=np.int64)
+        first_row = np.empty(n, dtype=np.int64)
+        card = nat["dict_encode_block"](
+            np.ascontiguousarray(data), np.ascontiguousarray(offs), n,
+            codes, first_row, n,
+        )
+        if card >= 0:
+            doffs, ddata = L.gather_strings(offs, data, first_row[:card])
+            return codes, doffs, ddata
+    d = dense.dictionary_encode()
+    doffs, ddata = _string_block(d.dictionary)
+    return np.asarray(d.indices).astype(np.int64), doffs, ddata
+
+
+def _binary_block_array(offs: np.ndarray, data: np.ndarray) -> pa.Array:
+    """(offsets, data) -> pa.binary array (zone-map bounds input);
+    byte-wise min/max over binary equals the string column's UTF-8
+    lexicographic bounds."""
+    return pa.Array.from_buffers(
+        pa.binary(), offs.size - 1,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+         pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+    )
 
 
 _STAT_PREFIX = 16

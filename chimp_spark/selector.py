@@ -83,6 +83,7 @@ def choose_codec(
     raw = sample.nbytes
     cands: dict[str, float] = {"plain": float(raw)}
     full_payloads: dict[str, bytes] = {}
+    gcd_pre: list | None = None
 
     def full_trial(enc, name: str) -> float:
         # cheap codecs trial-encode the FULL chunk (C-packed, ~0.2 ms
@@ -118,14 +119,14 @@ def choose_codec(
                 # the full non-decimal candidate set — leaving only
                 # plain/rle/xor_split would regress near-decimal chunks
                 # to a clearly worse codec
-                cands["chimp"] = len(L.chimp_block_encode(sample))
+                cands["chimp"] = L.chimp_block_size(sample)
                 cands["patas"] = len(L.patas_block_encode(sample))
                 cands["chimpn"] = len(L.chimpn_block_encode(sample))
                 cands["bss"] = len(L.bss_encode(sample))
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
         else:
             cands["xor_split"] = len(L.xor_split_encode(sample.view(np.uint64)))
-            cands["chimp"] = len(L.chimp_block_encode(sample))
+            cands["chimp"] = L.chimp_block_size(sample)
             cands["patas"] = len(L.patas_block_encode(sample))
             cands["chimpn"] = len(L.chimpn_block_encode(sample))
             cands["bss"] = len(L.bss_encode(sample))
@@ -136,14 +137,19 @@ def choose_codec(
         # the winner's deflate pass is the dominant cost — reuse it.
         cands["bss"] = full_trial(L.bss_encode, "bss")
     elif dtype in ("ts_us", "ts_ns"):
-        # full trials for the whole ts family: sampled thirds still
-        # misjudge chimp's header amortization on clustered timestamps
-        cands["ts_chimp"] = full_trial(L.ts_chimp_encode, "ts_chimp")
-        cands["delta_bp"] = full_trial(L.delta_bp_encode, "delta_bp")
-        cands["for_bitpack"] = full_trial(L.for_bitpack_encode, "for_bitpack")
+        # full-chunk sizing for the whole ts family (sampled thirds
+        # still misjudge chimp's header amortization on clustered
+        # timestamps) — but ANALYTIC: the FOR family's length is a
+        # pure function of full-chunk min/max/gcd stats and ts_chimp
+        # needs only the plan pass (chimp_size_bits), so no trial
+        # bit-packs anything; the winner is encoded once by the caller
+        cands["ts_chimp"] = L.ts_chimp_size(vals) * (m / n)
+        cands["delta_bp"] = L.delta_bp_size(vals) * (m / n)
+        cands["for_bitpack"] = L.for_bitpack_size(vals) * (m / n)
         iv = sample.astype(np.int64)
         if iv.size and int(np.gcd.reduce(iv - iv.min())) > 1:
-            cands["gcd_for"] = full_trial(L.gcd_for_encode, "gcd_for")
+            sz, *gcd_pre = L.gcd_for_stats(vals)
+            cands["gcd_for"] = sz * (m / n)
     else:  # integer kinds, date32
         iv = sample.astype(np.int64)
         # range in PYTHON ints: xxhash/signature columns span nearly
@@ -152,15 +158,22 @@ def choose_codec(
         # everything inside the width<=56 branch is then wrap-safe
         width = (int(iv.max()) - int(iv.min())).bit_length() if iv.size else 0
         if width <= 56:
-            cands["for_bitpack"] = full_trial(L.for_bitpack_encode, "for_bitpack")
-            if int(np.gcd.reduce(iv - iv.min())) > 1:
-                cands["gcd_for"] = full_trial(L.gcd_for_encode, "gcd_for")
+            # analytic full-chunk sizes (see ts branch): screens stay
+            # sampled, lengths are exact, nothing is packed twice
+            cands["for_bitpack"] = L.for_bitpack_size(vals) * (m / n)
+            if iv.size and int(np.gcd.reduce(iv - iv.min())) > 1:
+                sz, *gcd_pre = L.gcd_for_stats(vals)
+                cands["gcd_for"] = sz * (m / n)
             dmax = np.abs(np.diff(iv)).max() if iv.size > 1 else 0
             if int(dmax).bit_length() < width:
-                cands["delta_bp"] = full_trial(L.delta_bp_encode, "delta_bp")
+                cands["delta_bp"] = L.delta_bp_size(vals) * (m / n)
     best, reason = _pick(cands, raw)
     if best in full_payloads:
         return best, reason, full_payloads[best]
+    if best == "gcd_for" and gcd_pre is not None:
+        # the stats pass already paid the full-chunk gcd: hand the
+        # encoder the precomputed (lo, g, width) instead of a re-scan
+        return best, reason, L.gcd_for_encode(vals, pre=tuple(gcd_pre))
     return best, reason
 
 

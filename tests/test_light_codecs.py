@@ -542,3 +542,134 @@ def test_selector_full_range_int64_no_overflow():
         blob, meta = framing.encode_chunk(pa.array(vals), codec="auto")
     out = framing.decode_chunk(memoryview(blob))
     np.testing.assert_array_equal(np.asarray(out), vals)
+
+
+def test_analytic_sizes_exact():
+    """The selector's analytic trial sizes must equal len(encode())
+    EXACTLY for every FOR-family codec and ts_chimp/chimp — the r6
+    trial fast path replaces full trial encodes with these, so any
+    drift would silently change codec selection."""
+    rng = np.random.default_rng(42)
+    arrays = [
+        np.arange(5000, dtype=np.int64) * 7 + 13,
+        rng.integers(0, 1000, 5000, dtype=np.int64),
+        rng.integers(-(2**40), 2**40, 5000, dtype=np.int64) * 86_400,
+        np.repeat(rng.integers(0, 50, 100, dtype=np.int64), 50),
+        np.array([5], dtype=np.int64),
+        np.array([3, 3, 3, 9], dtype=np.int64),
+        np.sort(rng.integers(0, 2**45, 4096, dtype=np.int64)),
+        np.array([np.iinfo(np.int64).min + 2, np.iinfo(np.int64).max - 2, 0],
+                 dtype=np.int64),
+    ]
+    from chimp_spark.codecs import light as L
+
+    for iv in arrays:
+        assert L.for_bitpack_size(iv) == len(L.for_bitpack_encode(iv))
+        assert L.gcd_for_size(iv) == len(L.gcd_for_encode(iv))
+        assert L.delta_bp_size(iv) == len(L.delta_bp_encode(iv))
+        assert L.ts_chimp_size(iv) == len(L.ts_chimp_encode(iv))
+    floats = [
+        rng.normal(0, 1, 5000),
+        np.round(rng.normal(100, 5, 5000), 2),
+        np.repeat(rng.normal(0, 1, 50), 100),
+    ]
+    for fv in floats:
+        assert L.chimp_block_size(fv) == len(L.chimp_block_encode(fv))
+
+
+def test_chimp_size_bits_matches_encode():
+    """chimp_size_bits (C and numpy twin) == chimp_encode's reported
+    total payload bits on adversarial inputs (zero XORs, state churn,
+    low-byte-zero flag-01 records)."""
+    from chimp_spark.codecs import xor_ref as X
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.normal(0, 1, 3000).view(np.uint64),
+        np.repeat(rng.normal(0, 1, 30), 100).view(np.uint64),
+        (rng.integers(0, 2**20, 3000, dtype=np.int64) << 8).view(np.uint64),
+        np.array([1.5], dtype=np.float64).view(np.uint64),
+        np.zeros(100, dtype=np.uint64),
+        rng.integers(0, 2**63, 2000, dtype=np.int64).view(np.uint64),
+    ]
+    for bits in cases:
+        _words, total = X.chimp_encode(bits)
+        assert X.chimp_size_bits(bits) == total
+
+    # numpy twin parity (no-native path)
+    import chimp_spark._native as N
+
+    saved = N._FUNCS
+    try:
+        N._FUNCS = {}
+        for bits in cases:
+            _words, total = X.chimp_encode(bits)
+            assert X.chimp_size_bits(bits) == total
+    finally:
+        N._FUNCS = saved
+
+
+def test_dec_verify_scale_parity():
+    """The fused C decimal verify must agree with the numpy reference
+    path on every edge: -0.0, half-to-even rounding, 2^53 boundary,
+    sub-ULP noise, and plain decimals."""
+    import chimp_spark._native as N
+    from chimp_spark.codecs import light as L
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.round(rng.normal(100, 30, 4000), 2),
+        np.round(rng.normal(0, 1, 4000), 4),
+        rng.normal(0, 1, 4000),                      # not decimal
+        np.array([-0.0, 1.5, 2.25]),                 # -0.0 must fail k
+        np.array([0.5, 1.5, 2.5, 3.5]),              # half-to-even
+        np.array([2.0**52, 2.0**52 + 0.5]),          # near 2^53 after *10
+        np.array([1e15, 2e15]),                      # over 2^53 when scaled
+        np.round(rng.normal(100, 30, 4000), 2) + 1e-12,  # sub-ULP noise
+        np.array([0.1, 0.2, 0.3]),
+    ]
+    saved = N._FUNCS
+    for vals in cases:
+        nat_hit = L._dec_for_detect_iv(vals)
+        try:
+            N._FUNCS = {}
+            ref_hit = L._dec_for_detect_iv(vals)
+        finally:
+            N._FUNCS = saved
+        if ref_hit is None:
+            assert nat_hit is None
+        else:
+            assert nat_hit is not None
+            assert nat_hit[0] == ref_hit[0]
+            np.testing.assert_array_equal(nat_hit[1], ref_hit[1])
+        # and the full encoder round-trips when detection succeeds
+        if ref_hit is not None:
+            blob = L.dec_for_encode(vals)
+            out = L.dec_for_decode(memoryview(blob), vals.size, np.float64)
+            assert (out.view(np.uint64) == vals.view(np.uint64)).all()
+
+
+def test_dict_codes_parity():
+    """C dict_encode_block must reproduce pyarrow dictionary_encode
+    exactly: first-occurrence code order, same dictionary bytes."""
+    import pyarrow as pa
+
+    from chimp_spark import framing
+
+    rng = np.random.default_rng(5)
+    cases = [
+        pa.array(rng.choice(["A", "N", "R"], 5000).tolist()),
+        pa.array(rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"], 3000).tolist()),
+        pa.array([f"v{i % 700}" for i in range(4000)]),
+        pa.array(["", "x", "", "xy", "x", ""]),
+        pa.array([("s" * (i % 40)) for i in range(2000)]),
+    ]
+    for dense in cases:
+        offs, data = framing._string_block(dense)
+        codes, doffs, ddata = framing._dict_codes(offs, data, dense)
+        d = dense.dictionary_encode()
+        ref_codes = np.asarray(d.indices).astype(np.int64)
+        ref_doffs, ref_ddata = framing._string_block(d.dictionary)
+        np.testing.assert_array_equal(codes, ref_codes)
+        np.testing.assert_array_equal(doffs, ref_doffs)
+        np.testing.assert_array_equal(ddata, ref_ddata)
