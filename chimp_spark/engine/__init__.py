@@ -1,6 +1,7 @@
 from .core import (
     DEFAULT_CHUNK_ROWS,
     ENC_DDL,
+    arrow_max_bytes_per_batch,
     compression_summary,
     decode_column,
     decode_table,
@@ -21,6 +22,7 @@ from .partitioning import (
 __all__ = [
     "DEFAULT_CHUNK_ROWS",
     "ENC_DDL",
+    "arrow_max_bytes_per_batch",
     "EncodedTable",
     "compression_summary",
     "decode_column",

@@ -54,6 +54,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from chimp_spark.engine import (
+        arrow_max_bytes_per_batch,
         detect_hot_keys,
         encode_and_commit,
         repartition_balanced,
@@ -78,7 +79,10 @@ def main() -> None:
     elif args.codec != "auto" and args.codec not in CODEC_IDS:
         p.error(f"--codec: unknown codec '{args.codec}'")
 
-    spark = SparkSession.builder.appName(f"chimp_spark_encode_{args.table}").getOrCreate()
+    spark = (SparkSession.builder.appName(f"chimp_spark_encode_{args.table}")
+             .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                     arrow_max_bytes_per_batch())
+             .getOrCreate())
 
     # the scan path (direct Arrow row-group reads, no JVM row
     # conversion — measured ~80% of DataFrame-path encode wall) is the

@@ -50,6 +50,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from chimp_spark.engine import arrow_max_bytes_per_batch
     from chimp_spark.ops.pipeline import prepare_corpus
 
     weights = {}
@@ -57,7 +58,10 @@ def main() -> None:
         name, w = part.split("=")
         weights[name.strip()] = float(w)
 
-    spark = SparkSession.builder.appName("chimp_spark_prepare_corpus").getOrCreate()
+    spark = (SparkSession.builder.appName("chimp_spark_prepare_corpus")
+             .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                     arrow_max_bytes_per_batch())
+             .getOrCreate())
     try:
         stats = prepare_corpus(
             spark,
