@@ -333,7 +333,10 @@ def ddl_arrow_types(ddl: str) -> dict[str, pa.DataType]:
 # sink's colocation auto-detect matches it across the Py4J boundary
 # (a worker exception arrives stringified), so it lives as a shared
 # constant rather than a substring two files must keep in sync
-INCOMPLETE_GROUP_MARK = "lacks columns"
+# the bracketed token makes the match effectively collision-proof: a
+# user error whose text merely says "lacks columns" must not trigger
+# the sink's silent second-pass fallback
+INCOMPLETE_GROUP_MARK = "[CHIMP_INCOMPLETE_GROUP] lacks columns"
 
 
 def iter_decoded_groups(

@@ -296,6 +296,20 @@ def encode_and_commit(
                 f"not identify the same rows. Rerun with the identical "
                 f"partitioning, or use a fresh output root"
             )
+        if not stored and any(
+            e["table"] == table and e.get("mode") == "df" and e["part_id"] >= 0
+            for e in t.manifest_entries()
+        ):
+            # df-mode entries committed before layout_parts was recorded
+            # carry no layout identity: resuming against them could
+            # silently commit duplicated/missing rows under a different
+            # partition membership — refuse instead of skipping the check
+            raise ValueError(
+                f"df resume refused for table '{table}': committed df-mode "
+                f"entries predate layout_parts stamping, so the input "
+                f"layout cannot be validated. Re-encode into a fresh root "
+                f"or rerun with resume disabled"
+            )
         work = t.pending_partitions(work, table)
     cols = columns or [c for c in df.columns]
     # emptiness checked on the cheap filtered scan, not on the encoded

@@ -42,24 +42,31 @@ def resolve_paths(paths: list[str] | str) -> list[str]:
     return sorted(paths)
 
 
-def units_fingerprint(units: list[tuple[int, str, int]]) -> str:
+def units_fingerprint(units: list[tuple]) -> str:
     """Identity of the (sorted file list, per-file row-group counts)
     a unit list was derived from. Unit ids are positional, so resume
     is only valid against the exact same file set — commits record
     this fingerprint and EncodedTable.completed_scan_units refuses to
-    resume across a change (new crawl files, replaced files)."""
+    resume across a change (new crawl files, replaced files).
+
+    Hashes only (path, rg) — the r6 4-tuple units (with row counts)
+    fingerprint identically to the legacy 3-tuples, so tables
+    committed by older code still resume."""
     import hashlib
 
     h = hashlib.sha256()
-    for _uid, path, rg in units:
-        h.update(f"{path}\x00{rg}\x1e".encode())
+    for u in units:
+        h.update(f"{u[1]}\x00{u[2]}\x1e".encode())
     return h.hexdigest()[:24]
 
 
 def parquet_work_units(
     paths: list[str], spark: SparkSession | None = None
-) -> list[tuple[int, str, int]]:
-    """(unit_id, file, row_group) list for a set of parquet files.
+) -> list[tuple[int, str, int, int]]:
+    """(unit_id, file, row_group, rg_rows) list for a set of parquet
+    files. ``rg_rows`` feeds encode_parquet's oversized-row-group
+    splitting; unit identity (and the resume fingerprint) remains
+    (file, row_group).
 
     Footer reads are distributed as a Spark job once the file count is
     large (a 100 TB table is ~10^5 files — serial driver-side opens
@@ -67,25 +74,25 @@ def parquet_work_units(
     so resume keys don't depend on where footers were read."""
     import pyarrow.parquet as pq
 
+    def rg_rows(path: str) -> tuple[str, list[int]]:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(path).metadata
+        return path, [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
     ordered = sorted(paths)
     if spark is not None and len(ordered) > 64:
         sc = spark.sparkContext
-
-        def rg_count(path: str) -> tuple[str, int]:
-            import pyarrow.parquet as _pq
-
-            return path, _pq.ParquetFile(path).metadata.num_row_groups
-
         slices = min(len(ordered), sc.defaultParallelism * 4)
-        counts = dict(sc.parallelize(ordered, slices).map(rg_count).collect())
+        counts = dict(sc.parallelize(ordered, slices).map(rg_rows).collect())
     else:
-        counts = {p: pq.ParquetFile(p).metadata.num_row_groups for p in ordered}
+        counts = dict(rg_rows(p) for p in ordered)
 
-    units: list[tuple[int, str, int]] = []
+    units: list[tuple[int, str, int, int]] = []
     uid = 0
     for path in ordered:
-        for rg in range(counts[path]):
-            units.append((uid, path, rg))
+        for rg, nrows in enumerate(counts[path]):
+            units.append((uid, path, rg, nrows))
             uid += 1
     return units
 
@@ -122,7 +129,40 @@ def encode_parquet(
         units = [u for u in units if u[0] not in skip_part_ids]
     if not units:
         return spark.createDataFrame([], ENC_DDL)
-    n_slices = num_slices or min(len(units), spark.sparkContext.defaultParallelism * 2)
+
+    # oversized-row-group splitting: a whole-table parquet with one
+    # giant row group (the q1 source shape) would otherwise encode on
+    # ONE task. Split units into chunk_rows-ALIGNED row ranges — the
+    # (part_id, chunk_id, row_start) lineage comes out identical to
+    # the unsplit encode, so decode co-location and resume semantics
+    # are unchanged. Only fires when units are scarce relative to the
+    # cluster (a 100 TB table has >> 2x parallelism row groups and
+    # never splits, so the k-fold row-group re-read amplification this
+    # trades for parallelism cannot appear at scale).
+    par = spark.sparkContext.defaultParallelism
+    exec_units: list[tuple[int, str, int, int, int]] = []
+    if len(units) < 2 * par and any(len(u) > 3 and (u[3] or 0) > chunk_rows for u in units):
+        target = max(1, -(-2 * par // len(units)))  # sub-units per unit
+        for u in units:
+            uid, path, rg = u[0], u[1], u[2]
+            nrows = u[3] if len(u) > 3 else None
+            if not nrows or nrows <= chunk_rows:
+                # unknown row count (legacy 3-tuple), empty, or single
+                # chunk: encode the whole row group in one task
+                exec_units.append((uid, path, rg, 0, -1))
+                continue
+            n_chunks = -(-nrows // chunk_rows)
+            k = min(n_chunks, target)
+            bounds = [n_chunks * j // k for j in range(k + 1)]
+            for j in range(k):
+                off = bounds[j] * chunk_rows
+                ln = min(bounds[j + 1] * chunk_rows, nrows) - off
+                if ln > 0:
+                    exec_units.append((uid, path, rg, off, ln))
+    else:
+        exec_units = [(u[0], u[1], u[2], 0, -1) for u in units]
+
+    n_slices = num_slices or min(len(exec_units), spark.sparkContext.defaultParallelism * 2)
     # positional slicing via parallelize: consecutive row groups of the
     # same file land in the same task in order (footer parsed once per
     # task, sequential reads) with balanced unit counts — the same
@@ -130,10 +170,8 @@ def encode_parquet(
     # job and exchange (two scheduled stages per call on a list the
     # driver already holds sorted)
     plan = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(u, p, r) for (u, p, r) in units], n_slices
-        ),
-        "unit int, path string, rg int",
+        spark.sparkContext.parallelize(exec_units, n_slices),
+        "unit int, path string, rg int, off long, nrows long",
     )
 
     codec_of = (lambda c: codec.get(c, "auto")) if isinstance(codec, dict) else (lambda c: codec)
@@ -148,19 +186,33 @@ def encode_parquet(
         # per (task, file), not once per row group — a many-row-group
         # file would otherwise pay O(row_groups^2) metadata parsing
 
+        rg_key = None
+        rg_tbl = None
         for b in batches:
             for i in range(b.num_rows):
                 unit = b.column("unit")[i].as_py()
                 path = b.column("path")[i].as_py()
                 rg = b.column("rg")[i].as_py()
+                sub_off = b.column("off")[i].as_py()
+                sub_len = b.column("nrows")[i].as_py()
                 pf = pf_cache.get(path)
                 if pf is None:
                     if len(pf_cache) >= 16:  # bound open handles
                         pf_cache.clear()
                     pf = pf_cache[path] = pq.ParquetFile(path)
-                tbl = pf.read_row_group(rg, columns=columns)
-                chunk_id = 0
-                row_start = 0
+                if rg_key != (path, rg):  # consecutive sub-units of one
+                    # row group share a task's decoded table
+                    rg_tbl = pf.read_row_group(rg, columns=columns)
+                    rg_key = (path, rg)
+                if sub_len < 0:  # whole row group
+                    tbl = rg_tbl
+                else:
+                    tbl = rg_tbl.slice(sub_off, sub_len)
+                # lineage offsets make a split unit indistinguishable
+                # from the unsplit encode: chunk ids/row starts are
+                # absolute within the row group (sub_off is aligned)
+                chunk_id = sub_off // chunk_rows
+                row_start = sub_off
                 for off in range(0, max(tbl.num_rows, 1), chunk_rows):
                     sl = tbl.slice(off, chunk_rows)
                     out: dict[str, list] = {k.name: [] for k in ENC_ARROW_SCHEMA}

@@ -199,7 +199,10 @@ def test_resume_after_partial_failure(spark, tmp_path):
     enc = engine.encode_dataframe(partial, ["c_custkey", "c_name"], chunk_rows=512,
                                   table_name="customer")
     t = engine.EncodedTable(root)
-    t.commit(spark, enc, "customer", mode="df")
+    # stamp layout_parts exactly as a crashed encode_and_commit would
+    # have (resume now REFUSES unstamped df entries — see
+    # test_df_resume_refuses_pre_layout_parts_entries)
+    t.commit(spark, enc, "customer", mode="df", layout_parts=6)
     assert t.completed_part_ids("customer", mode="df") == {0, 1, 2}
 
     stats = engine.encode_and_commit(
@@ -806,3 +809,35 @@ def test_shard_writer_flushes_on_bytes(tmp_path):
     path, rows, _size = w.close()
     assert rows == 3000
     assert pq.ParquetFile(path).metadata.num_row_groups >= 2
+
+
+def test_df_resume_refuses_pre_layout_parts_entries(spark, tmp_path):
+    """df-mode entries committed before layout_parts stamping carry no
+    layout identity; resuming against them must refuse loudly instead
+    of silently skipping the membership check (ADVICE r5, medium)."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from chimp_spark import engine
+
+    root = str(tmp_path / "enc_pre_layout")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartition(4, "id")
+    engine.encode_and_commit(spark, df, root, "t")
+
+    # simulate a pre-upgrade commit: strip layout_parts from every entry
+    for mf in glob.glob(str(tmp_path / "enc_pre_layout" / "metadata" / "*.jsonl")):
+        lines = [
+            _json.loads(ln)
+            for ln in open(mf)
+            if ln.strip()
+        ]
+        for e in lines:
+            e.pop("layout_parts", None)
+        with open(mf, "w") as f:
+            for e in lines:
+                f.write(_json.dumps(e) + "\n")
+
+    with pytest.raises(ValueError, match="predate layout_parts"):
+        engine.encode_and_commit(spark, df, root, "t")
