@@ -92,6 +92,50 @@ def _compile(symbols: list[bytes]) -> tuple[re.Pattern, dict[bytes, int]]:
     return pattern, code_of
 
 
+def _pack_le(s: bytes) -> int:
+    """Little-endian padded u64 of a <=8-byte symbol: byte 0 in the
+    low bits, zero padding above — with the length kept alongside,
+    (word, len) is a bijection onto the symbol bytes."""
+    return int.from_bytes(s.ljust(8, b"\0"), "little")
+
+
+def _rank_symbols(words: np.ndarray, lens: np.ndarray, cnts: np.ndarray) -> list[bytes]:
+    """Vectorized twin of
+
+        ranked = sorted(counts.items(), key=lambda kv: (-cnt*len, bytes))
+        [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+
+    over (word, len)-packed candidates. Duplicate byte strings (two
+    different token concatenations yielding the same bytes) merge
+    their counts exactly like the Counter did; bytes-lexicographic tie
+    order equals (big-endian padded word, len) ascending — a zero pad
+    byte sorts before any longer continuation, and symbols differing
+    only by trailing NUL bytes differ in len. Pinned equal to the
+    Counter reference by tests/test_corpus_ops.py."""
+    if words.size == 0:
+        return []
+    # group identical (word, len) keys: integer lexsort + run detection
+    # beats np.unique on a structured dtype (memcmp comparisons) ~3x
+    order0 = np.lexsort((lens, words))
+    ws = words[order0]
+    ls = lens[order0].astype(np.int64)
+    new_grp = np.empty(ws.size, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (ws[1:] != ws[:-1]) | (ls[1:] != ls[:-1])
+    grp = np.cumsum(new_grp) - 1
+    m_cnts = np.bincount(grp, weights=cnts[order0].astype(np.float64)).astype(np.int64)
+    u_w = ws[new_grp]
+    u_l = ls[new_grp]
+    gains = m_cnts * u_l
+    be = u_w.byteswap()
+    order = np.lexsort((u_l, be, -gains))[:MAX_SYMBOLS]
+    return [
+        int(u_w[i]).to_bytes(8, "little")[: u_l[i]]
+        for i in order
+        if m_cnts[i] > 1
+    ]
+
+
 def _count_tokens_pairs_native(
     offsets: np.ndarray, data: np.ndarray, symbols: list[bytes]
 ) -> Counter | None:
@@ -106,7 +150,8 @@ def _count_tokens_pairs_native(
     codes = np.frombuffer(code_bytes, dtype=np.uint8)
     m = codes.size
     if m == 0:
-        return Counter()
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.uint64), z, z
     string_id = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
 
     # token starts: every position except literal payloads. Escape
@@ -136,23 +181,38 @@ def _count_tokens_pairs_native(
         tok_id = codes.astype(np.int64)
     tok_str = string_id[tok_pos]
 
-    def tok_bytes(i: int) -> bytes:
-        return symbols[i] if i < 256 else bytes((i - 256,))
+    # token id -> (LE-packed word, len): ids < 256 are table symbols,
+    # 256 + b is the escaped literal byte b
+    tok_w = np.zeros(512, dtype=np.uint64)
+    tok_l = np.zeros(512, dtype=np.int64)
+    for i, s in enumerate(symbols):
+        tok_w[i] = _pack_le(s)
+        tok_l[i] = len(s)
+    tok_w[256:] = np.arange(256, dtype=np.uint64)
+    tok_l[256:] = 1
 
-    counts: Counter[bytes] = Counter()
     singles = np.bincount(tok_id, minlength=512)
-    for i in np.flatnonzero(singles):
-        counts[tok_bytes(int(i))] += int(singles[i])
+    s_ids = np.flatnonzero(singles)
+    words = [tok_w[s_ids]]
+    lens = [tok_l[s_ids]]
+    cnts = [singles[s_ids].astype(np.int64)]
     if tok_id.size > 1:
         same = tok_str[1:] == tok_str[:-1]
         combined = tok_id[:-1][same] * 512 + tok_id[1:][same]
         pc = np.bincount(combined, minlength=1)
-        for key in np.flatnonzero(pc):
-            a, b = divmod(int(key), 512)
-            cat = tok_bytes(a) + tok_bytes(b)
-            if len(cat) <= MAX_SYM_LEN:
-                counts[cat] += int(pc[key])
-    return counts
+        p_keys = np.flatnonzero(pc)
+        pa = p_keys // 512
+        pb = p_keys % 512
+        plen = tok_l[pa] + tok_l[pb]
+        keep = plen <= MAX_SYM_LEN
+        pa, pb, plen = pa[keep], pb[keep], plen[keep]
+        # concatenated bytes as one packed word: second token shifted
+        # past the first (len_a <= 7 after the keep filter)
+        pw = tok_w[pa] | (tok_w[pb] << (tok_l[pa] * 8).astype(np.uint64))
+        words.append(pw)
+        lens.append(plen)
+        cnts.append(pc[p_keys][keep].astype(np.int64))
+    return np.concatenate(words), np.concatenate(lens), np.concatenate(cnts)
 
 
 def train(sample: list[bytes]) -> list[bytes]:
@@ -176,10 +236,11 @@ def train(sample: list[bytes]) -> list[bytes]:
         if gen == 0:
             # generation 0 (empty table): every token is a raw byte, so
             # token/pair counting is two bincounts — no compressor pass
-            counts = Counter()
             singles = np.bincount(data, minlength=256)
-            for b in np.flatnonzero(singles):
-                counts[bytes((int(b),))] = int(singles[b])
+            s_ids = np.flatnonzero(singles)
+            words = [s_ids.astype(np.uint64)]
+            lens = [np.ones(s_ids.size, dtype=np.int64)]
+            cnts = [singles[s_ids].astype(np.int64)]
             if data.size > 1:
                 pair_ids = data[:-1].astype(np.int32) * 256 + data[1:]
                 # drop pairs straddling string boundaries
@@ -187,15 +248,22 @@ def train(sample: list[bytes]) -> list[bytes]:
                 inner_ends = offsets[1:-1] - 1
                 boundary[inner_ends[(inner_ends >= 0) & (inner_ends < data.size - 1)]] = True
                 pc = np.bincount(pair_ids[~boundary], minlength=65536)
-                for key in np.flatnonzero(pc):
-                    counts[bytes((int(key) >> 8, int(key) & 255))] = int(pc[key])
-            ranked = sorted(counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
-            symbols = [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+                p_keys = np.flatnonzero(pc)
+                # LE packing: first byte (key >> 8) in the low bits
+                words.append(
+                    (p_keys >> 8).astype(np.uint64)
+                    | ((p_keys & 255).astype(np.uint64) << np.uint64(8))
+                )
+                lens.append(np.full(p_keys.size, 2, dtype=np.int64))
+                cnts.append(pc[p_keys].astype(np.int64))
+            symbols = _rank_symbols(
+                np.concatenate(words), np.concatenate(lens), np.concatenate(cnts)
+            )
             continue
-        counts = _count_tokens_pairs_native(offsets, data, symbols)
-        if counts is None:  # pure-Python fallback (no C toolchain)
+        counted = _count_tokens_pairs_native(offsets, data, symbols)
+        if counted is None:  # pure-Python fallback (no C toolchain)
             pattern, _code_of = _compile(symbols)
-            counts = Counter()
+            counts: Counter[bytes] = Counter()
             for s in pruned:
                 toks = pattern.findall(s)
                 counts.update(toks)
@@ -203,10 +271,12 @@ def train(sample: list[bytes]) -> list[bytes]:
                     cat = a + b
                     if len(cat) <= MAX_SYM_LEN:
                         counts[cat] += 1
-        ranked = sorted(
-            counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
-        )
-        symbols = [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+            ranked = sorted(
+                counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0])
+            )
+            symbols = [sym for sym, cnt in ranked[:MAX_SYMBOLS] if cnt > 1]
+        else:
+            symbols = _rank_symbols(*counted)
     return symbols
 
 
