@@ -417,6 +417,31 @@ static inline uint64_t ld_be(const uint8_t* p) {
 
 /* Fixed-width bit-field pack into host-endian words (caller zeroes
    out_words and byteswaps to big-endian in one vector op). */
+/* FOR/gcd pack fused: out = pack((u64)(vals[i] - lo) / g, width) in a
+   single pass — replaces the numpy subtract pass, divide pass and the
+   separate pack. Unsigned arithmetic: (u64)v - (u64)lo wraps exactly
+   like numpy's int64 subtraction viewed as uint64. */
+void bp_fixed_i64(const int64_t* vals, long n, int64_t lo, uint64_t g,
+                  int width, uint64_t* out_words) {
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    uint64_t ulo = (uint64_t)lo;
+    long pos = 0;
+    for (long i = 0; i < n; i++) {
+        uint64_t v = (uint64_t)vals[i] - ulo;
+        if (g > 1) v /= g;
+        v &= mask;
+        long idx = pos >> 6; int s = 64 - (int)(pos & 63);
+        if (width <= s) {
+            out_words[idx] |= v << (s - width);
+        } else {
+            int rest = width - s;
+            out_words[idx] |= v >> rest;
+            out_words[idx + 1] |= v << (64 - rest);
+        }
+        pos += width;
+    }
+}
+
 void bp_fixed(const uint64_t* vals, long n, int width, uint64_t* out_words) {
     uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
     long pos = 0;
@@ -668,6 +693,10 @@ def _build() -> dict | None:
     lib.bu_fixed.argtypes = [u8p, ctypes.c_long, ctypes.c_int, u64p]
     lib.bp_fixed.restype = None
     lib.bp_fixed.argtypes = [u64p, ctypes.c_long, ctypes.c_int, u64p]
+    lib.bp_fixed_i64.restype = None
+    lib.bp_fixed_i64.argtypes = [
+        i64p, ctypes.c_long, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, u64p,
+    ]
     lib.xs_enc.restype = ctypes.c_long
     lib.xs_enc.argtypes = [u64p, ctypes.c_long, u8p, u8p]
     lib.xs_dec.restype = ctypes.c_long
@@ -695,6 +724,7 @@ def _build() -> dict | None:
         "dict_encode_block": lib.dict_encode_block,
         "bu_fixed": lib.bu_fixed,
         "bp_fixed": lib.bp_fixed,
+        "bp_fixed_i64": lib.bp_fixed_i64,
         "xs_enc": lib.xs_enc,
         "xs_dec": lib.xs_dec,
         "pack_hdr_pay": lib.pack_hdr_pay,
