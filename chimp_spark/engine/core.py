@@ -272,23 +272,23 @@ def decode_column(
         from ..framing import checksum_of
 
         for b in batches:
-            pids = b.column("part_id")
-            starts = b.column("row_start")
+            pids = b.column("part_id").to_pylist()
+            starts = b.column("row_start").to_pylist()
             frames = b.column("frame")
-            sums = b.column("checksum")
+            sums = b.column("checksum").to_pylist()
             for i in range(b.num_rows):
                 # as_buffer(): zero-copy view into the arrow batch
                 raw = decode_chunk(memoryview(frames[i].as_buffer()))
-                if verify_checksums and checksum_of(raw) != sums[i].as_py():
+                if verify_checksums and checksum_of(raw) != sums[i]:
                     raise ValueError(
                         f"checksum mismatch: part={pids[i]} row_start={starts[i]}"
                     )
                 arr = _cast_to(raw, out_type)
                 n = len(arr)
-                rs = starts[i].as_py()
+                rs = starts[i]
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(np.full(n, pids[i].as_py(), dtype=np.int32)),
+                        pa.array(np.full(n, pids[i], dtype=np.int32)),
                         pa.array(rs + np.arange(n, dtype=np.int64)),
                         arr,
                     ],
@@ -382,21 +382,27 @@ def iter_decoded_groups(
         return pa.RecordBatch.from_arrays(cols, names=["part_id", "row_id"] + columns)
 
     for b in batches:
+        # batch-decode the metadata columns once: per-element arrow
+        # __getitem__/.as_py() costs ~3 us a call, which at 100 TB
+        # scale (millions of frame rows per task) is minutes of pure
+        # object churn; frames stay zero-copy via as_buffer()
+        run_ids = b.column("run_id").to_pylist()
+        part_ids = b.column("part_id").to_pylist()
+        chunk_ids = b.column("chunk_id").to_pylist()
+        row_starts = b.column("row_start").to_pylist()
+        col_names = b.column("column").to_pylist()
+        checksums = b.column("checksum").to_pylist()
+        frames = b.column("frame")
         for i in range(b.num_rows):
-            key = (
-                b.column("run_id")[i].as_py(),
-                b.column("part_id")[i].as_py(),
-                b.column("chunk_id")[i].as_py(),
-            )
+            key = (run_ids[i], part_ids[i], chunk_ids[i])
             if key != group_key and group:
                 yield emit()
                 group = {}
             group_key = key
-            group_meta = (key[1], b.column("row_start")[i].as_py())
-            col_name = b.column("column")[i].as_py()
+            group_meta = (key[1], row_starts[i])
             # zero-copy: the arrow buffer stays alive via refcount
-            group[col_name] = memoryview(b.column("frame")[i].as_buffer())
-            sums[col_name] = b.column("checksum")[i].as_py()
+            group[col_names[i]] = memoryview(frames[i].as_buffer())
+            sums[col_names[i]] = checksums[i]
     if group:
         yield emit()
 
