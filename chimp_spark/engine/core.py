@@ -82,6 +82,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE targets max(total/parallelism, minPartitionSize) per
+        # coalesced partition (parallelismFirst). The decode exchange
+        # moves COMPRESSED frames that expand ~6x and pay heavy CPU per
+        # byte, so the 1m default min under-parallelizes small inputs
+        # (19 of 32 cores at sf0.1). 256k only affects jobs whose
+        # per-core share is < 1m — at scale total/parallelism dominates
+        # and behavior is identical.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
         .config("spark.sql.execution.arrow.maxBytesPerBatch", arrow_max_bytes_per_batch())
         .config("spark.sql.files.maxPartitionBytes", "128m")
